@@ -127,12 +127,16 @@ def rotmat_to_aa(rotmat: jnp.ndarray) -> jnp.ndarray:
 
 
 def rot6d_to_rotmat(x: jnp.ndarray) -> jnp.ndarray:
-    """6D rotation representation (..., 6) -> rotation matrix (..., 3, 3).
+    """6D rotation representation -> rotation matrices.
 
-    Zhou et al. CVPR'19 Gram-Schmidt construction; the 6 numbers are read as a
-    3x2 matrix (column-major pairs), matching the reference's `view(-1, 3, 2)`.
+    Zhou et al. CVPR'19 Gram-Schmidt construction. Matches the reference's
+    `view(-1, 3, 2)` semantics: the input is flattened into consecutive
+    6-tuples (row-major (3, 2) blocks), so (B, 6) -> (B, 3, 3) and a packed
+    (nt, 24*6) pose -> (nt*24, 3, 3). Leading axes beyond the 6-tuple count
+    are collapsed; callers reshape as needed.
     """
-    shape = x.shape[:-1]
+    assert x.size % 6 == 0, f"rot6d input size {x.shape} not divisible by 6"
+    shape = x.shape[:-1] if x.shape[-1] == 6 else (x.size // 6,)
     m = x.reshape((-1, 3, 2))
     a1, a2 = m[:, :, 0], m[:, :, 1]
     # F.normalize(v, eps=1e-6): v / max(||v||, eps)

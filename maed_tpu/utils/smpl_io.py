@@ -1,0 +1,118 @@
+"""SMPL model-file loading (and synthetic models for data-free testing).
+
+Replaces the external smplx package's pickle loading: reads the standard
+`SMPL_NEUTRAL.pkl` layout (chumpy-array-bearing pickle, latin1-encoded) plus
+the reference's `J_regressor_extra.npy` (9, 6890), and assembles a
+maed_tpu.ops.smpl.SMPLModel. See /root/reference/lib/models/smpl.py:56-58 for
+the expected data directory layout (data/smpl_data/).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import pickle
+
+import numpy as np
+
+from maed_tpu.ops.smpl import NUM_JOINTS, SMPLModel, make_model
+
+
+def _to_np(x):
+    """Convert chumpy arrays / scipy sparse / plain arrays to dense numpy."""
+    if hasattr(x, "r"):  # chumpy
+        return np.asarray(x.r)
+    if hasattr(x, "todense"):  # scipy sparse
+        return np.asarray(x.todense())
+    return np.asarray(x)
+
+
+class _ChumpyUnpickler(pickle.Unpickler):
+    """Unpickle SMPL files without the chumpy package installed.
+
+    SMPL pickles reference chumpy.ch.Ch objects; we substitute a minimal stub
+    whose __setstate__ captures the underlying ndarray.
+    """
+
+    class _ChStub:
+        def __setstate__(self, state):
+            self.__dict__.update(state)
+
+        @property
+        def r(self):
+            for key in ("x", "a", "v"):
+                if key in self.__dict__ and isinstance(self.__dict__[key], np.ndarray):
+                    return self.__dict__[key]
+            for v in self.__dict__.values():
+                if isinstance(v, np.ndarray):
+                    return v
+            raise ValueError("chumpy stub: no ndarray payload found")
+
+    def find_class(self, module, name):
+        if module.startswith("chumpy"):
+            return self._ChStub
+        return super().find_class(module, name)
+
+
+def load_smpl_pickle(path: str):
+    with open(path, "rb") as f:
+        data = _ChumpyUnpickler(f, encoding="latin1").load()
+    return data
+
+
+def load_smpl_model(model_dir: str, gender: str = "NEUTRAL") -> SMPLModel:
+    """Load SMPL_<GENDER>.pkl + J_regressor_extra.npy from model_dir."""
+    pkl = osp.join(model_dir, f"SMPL_{gender.upper()}.pkl")
+    data = load_smpl_pickle(pkl)
+    extra = np.load(osp.join(model_dir, "J_regressor_extra.npy"))
+    return make_model(
+        v_template=_to_np(data["v_template"]),
+        shapedirs=_to_np(data["shapedirs"]),
+        posedirs_raw=_to_np(data["posedirs"]),
+        J_regressor=_to_np(data["J_regressor"]),
+        lbs_weights=_to_np(data["weights"]),
+        J_regressor_extra=extra,
+        faces=_to_np(data["f"]),
+    )
+
+
+def synthetic_smpl_model(num_verts: int = 400, seed: int = 0) -> SMPLModel:
+    """A small random-but-valid SMPL-shaped model for data-free tests/benches.
+
+    Every tensor has the same meaning/shape-structure as the real model; the
+    kinematic tree is the real SMPL tree. Vertex keypoint ids are drawn inside
+    [0, num_verts).
+    """
+    rng = np.random.RandomState(seed)
+    V = num_verts
+    v_template = rng.randn(V, 3).astype(np.float32) * 0.3
+    shapedirs = rng.randn(V, 3, 10).astype(np.float32) * 0.03
+    posedirs_raw = rng.randn(V, 3, 9 * (NUM_JOINTS - 1)).astype(np.float32) * 0.01
+    J_regressor = np.abs(rng.rand(NUM_JOINTS, V)).astype(np.float32)
+    J_regressor /= J_regressor.sum(axis=1, keepdims=True)
+    lbs_weights = np.abs(rng.rand(V, NUM_JOINTS)).astype(np.float32) ** 4
+    lbs_weights /= lbs_weights.sum(axis=1, keepdims=True)
+    J_regressor_extra = np.abs(rng.rand(9, V)).astype(np.float32)
+    J_regressor_extra /= J_regressor_extra.sum(axis=1, keepdims=True)
+    vertex_joint_ids = rng.choice(V, size=21, replace=False)
+    return make_model(
+        v_template=v_template,
+        shapedirs=shapedirs,
+        posedirs_raw=posedirs_raw,
+        J_regressor=J_regressor,
+        lbs_weights=lbs_weights,
+        J_regressor_extra=J_regressor_extra,
+        vertex_joint_ids=vertex_joint_ids,
+    )
+
+
+def find_smpl_model(data_dir: str = "data/smpl_data") -> SMPLModel:
+    """Load the real model if present; otherwise fall back to synthetic.
+
+    Keeps every pipeline runnable in environments without the (licensed) SMPL
+    artifacts; real evaluations require the real files.
+    """
+    pkl = osp.join(data_dir, "SMPL_NEUTRAL.pkl")
+    if osp.isfile(pkl) and osp.isfile(osp.join(data_dir, "J_regressor_extra.npy")):
+        return load_smpl_model(data_dir)
+    return synthetic_smpl_model(num_verts=6890)
