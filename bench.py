@@ -1,0 +1,85 @@
+"""Benchmark: 3DPW-protocol eval throughput (clips/sec/chip) on the flagship
+MAED ste-parallel + KTD model at the release eval shape (16-frame 224x224
+clips -> SMPL verts/joints/2D reprojection, J14 regressor path).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no throughput numbers (SURVEY.md §6), so vs_baseline
+is the ratio against the round-1 recorded value in BENCH_SELF.json (1.0 when
+that file doesn't exist yet, i.e. this run defines the baseline).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from maed_tpu.models import MAED
+    from maed_tpu.ops.joints import H36M_TO_J14  # noqa: F401 (protocol doc)
+    from maed_tpu.utils.smpl_io import find_smpl_model
+
+    dtype = jnp.bfloat16 if os.environ.get("MAED_BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
+
+    batch = int(os.environ.get("MAED_BENCH_BATCH", "8"))
+    seqlen = 16
+    model = MAED(encoder="ste", num_blocks=6, num_heads=12, st_mode="parallel",
+                 decoder="ktd", hidden_dim=1024, dtype=dtype)
+    smpl = find_smpl_model()
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(batch, seqlen, 224, 224, 3).astype(np.float32))
+    J_reg = jnp.asarray(rng.rand(14, smpl.v_template.shape[0]).astype(np.float32))
+
+    print(f"[bench] device={jax.devices()[0]}, batch={batch}, dtype={dtype.__name__}",
+          file=sys.stderr)
+    variables = model.init(jax.random.PRNGKey(0), x[:1, :2], smpl)
+
+    fwd = jax.jit(lambda v, images: model.apply(v, images, smpl, J_regressor=J_reg))
+
+    # compile + warmup
+    out = fwd(variables, x)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    out = fwd(variables, x)
+    jax.block_until_ready(out)
+    warm = time.time() - t0
+    iters = max(3, int(10.0 / max(warm, 1e-3)))
+    iters = min(iters, 50)
+
+    t0 = time.time()
+    for _ in range(iters):
+        out = fwd(variables, x)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+
+    clips_per_sec = batch * iters / dt
+    print(f"[bench] {iters} iters in {dt:.2f}s -> {clips_per_sec:.2f} clips/s",
+          file=sys.stderr)
+
+    vs_baseline = 1.0
+    base_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json")
+    if os.path.isfile(base_file):
+        with open(base_file) as f:
+            base = json.load(f)
+        if base.get("value"):
+            vs_baseline = clips_per_sec / float(base["value"])
+    else:
+        with open(base_file, "w") as f:
+            json.dump({"value": clips_per_sec, "unit": "clips/sec/chip"}, f)
+
+    print(json.dumps({
+        "metric": "3dpw_eval_throughput",
+        "value": round(clips_per_sec, 3),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(vs_baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Evaluation CLI: `python eval.py --cfg <yaml> --checkpoint <ckpt>
+--eval_ds 3dpw --eval_set test [--output_path <dir>]` — same surface as the
+reference (/root/reference/eval.py), running the windowed-clip protocol and
+all metrics on device.
+
+Accepts orbax checkpoints (our trainer's output) or torch .pth/.pth.tar files
+from the reference (converted on the fly via utils.torch_convert).
+"""
+
+import jax
+import numpy as np
+
+from maed_tpu.utils.platform import honor_env_platform
+
+honor_env_platform()
+
+from maed_tpu.core.config import parse_args
+from maed_tpu.core.evaluate import Evaluator
+from maed_tpu.data.dataset import VideoDataset
+from maed_tpu.data.loaders import ShardedLoader
+from maed_tpu.data.transforms import build_eval_transforms
+from maed_tpu.models import MAED
+from maed_tpu.utils.checkpoint import load_checkpoint, load_eval_params
+from maed_tpu.utils.smpl_io import find_smpl_model
+
+
+def load_any_checkpoint_params(path: str, params):
+    """orbax dir or torch .pth(.tar) -> our param tree."""
+    if path.endswith((".pth", ".pth.tar", ".pt", ".tar")):
+        from maed_tpu.utils.torch_convert import convert_torch_checkpoint
+
+        ckpt_params = convert_torch_checkpoint(path, params)
+        return load_eval_params(params, ckpt_params)
+    ckpt = load_checkpoint(path)
+    src = ckpt["params"] if "params" in ckpt else ckpt
+    return load_eval_params(params, src)
+
+
+def main():
+    args, cfg, _ = parse_args()
+
+    enc = cfg.MODEL.ENCODER
+    dec = cfg.MODEL.DECODER
+    model = MAED(
+        encoder=enc.BACKBONE, num_blocks=enc.NUM_BLOCKS, num_heads=enc.NUM_HEADS,
+        st_mode=enc.SPA_TEMP_MODE, decoder=dec.BACKBONE, hidden_dim=dec.HIDDEN_DIM,
+    )
+    smpl = find_smpl_model()
+
+    d = cfg.DATASET
+    sample = np.zeros((1, cfg.EVAL.SEQLEN, d.HEIGHT, d.WIDTH, 3), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), sample, smpl)
+    params = variables["params"]
+    if args.checkpoint:
+        params = load_any_checkpoint_params(args.checkpoint, params)
+
+    dataset = VideoDataset(
+        args.eval_ds, args.eval_set, build_eval_transforms(d.WIDTH, d.HEIGHT),
+        seqlen=0, sample_pool=cfg.EVAL.SAMPLE_POOL, overlap=0,
+        random_sample=False, random_start=False,
+    )
+    loader = ShardedLoader(
+        dataset, cfg.EVAL.BATCH_SIZE, shuffle=False, drop_last=False,
+    )
+
+    def apply_fn(images, J_regressor=None):
+        return model.apply({"params": params}, images, smpl, J_regressor=J_regressor)
+
+    evaluator = Evaluator(smpl)
+    evaluator.run(
+        apply_fn, loader, seqlen=cfg.EVAL.SEQLEN, interp=cfg.EVAL.INTERPOLATION,
+        dataset_name=args.eval_ds, save_path=args.output_path,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,238 @@
+"""Evaluator: temporal-sliding clip inference + on-device metrics.
+
+Parity target: /root/reference/lib/core/evaluate.py:25-236.
+
+Protocol: the eval loader yields SAMPLE_POOL(=128)-frame windows; they are
+strided into `sample_freq = (pool // interp) // seqlen` interleaved
+seqlen-frame clips (`images[:, ::interp][:, i::sample_freq]`), each run
+through one jitted forward; predictions are re-interleaved (stack axis=2),
+linearly interpolated back to the original frame rate when interp > 1, and
+deduplicated with the window 'valid' mask. MPJPE / PA-MPJPE / ACCEL run as a
+single jitted metric kernel; PVE rebuilds GT vertices through the native SMPL
+in device-sized chunks.
+
+TPU notes: the model forward sees a fixed (batch, seqlen) shape — ragged last
+batches are zero-padded to the compiled batch size and dropped after — so the
+whole eval runs on exactly one compiled executable per protocol.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+import time
+from collections import defaultdict
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maed_tpu.core import config as cfg_mod
+from maed_tpu.ops.joints import JID_DICT, REGRESSOR_DICT
+from maed_tpu.ops.metrics import eval_metrics, vert_error
+from maed_tpu.ops.smpl import SMPLModel, smpl_forward
+
+
+def load_eval_regressor(dataset_name: str, data_dir: Optional[str] = None) -> Optional[np.ndarray]:
+    fname = REGRESSOR_DICT.get(dataset_name)
+    if fname is None:
+        return None
+    path = osp.join(data_dir or cfg_mod.DATA_DIR, fname)
+    if not osp.isfile(path):
+        return None
+    return np.load(path).astype(np.float32)
+
+
+def merge_sequence(seq):
+    """Re-interleave sample_freq sub-clips: list of (N, T/f, ...) arrays ->
+    (N*T, ...) in original temporal order."""
+    arr = np.stack(seq, axis=2)  # (N, T/f, f, ...)
+    return arr.reshape((-1,) + arr.shape[3:])
+
+
+def interpolate_sequence(sequence: np.ndarray, orig_len: int, interp_len: int) -> np.ndarray:
+    """Linear interpolation of the skipped frames (interp > 1 eval mode)."""
+    if orig_len == interp_len:
+        return sequence
+    from scipy.interpolate import interp1d
+
+    sequence = sequence.reshape((-1, interp_len) + sequence.shape[1:])
+    x = np.linspace(1.0, 0.0, num=interp_len, endpoint=False)[::-1]
+    f = interp1d(x, sequence, axis=1, fill_value="extrapolate")
+    new_x = np.linspace(0.0, 1.0, num=orig_len, endpoint=True)
+    ret = f(new_x)
+    return ret.reshape((-1,) + ret.shape[2:])
+
+
+class Evaluator:
+    """Accumulates predictions window-by-window, then computes metrics.
+
+    apply_fn(images (N, T, H, W, 3), J_regressor or None) -> preds dict; the
+    Evaluator jits it once and reuses the executable across the run.
+    """
+
+    def __init__(self, smpl_model: SMPLModel, metric_chunk: int = 4096):
+        self.smpl_model = smpl_model
+        self.metric_chunk = metric_chunk
+        self.accumulators = defaultdict(list)
+
+    # ------------------------------------------------------------------ #
+    def inference(
+        self,
+        apply_fn: Callable,
+        dataloader,
+        seqlen: int = 16,
+        interp: int = 1,
+        dataset_name: str = "3dpw",
+        J_regressor: Optional[np.ndarray] = None,
+        batch_size: Optional[int] = None,
+        verbose: bool = True,
+    ):
+        self.accumulators = defaultdict(list)
+        if J_regressor is None:
+            J_regressor = load_eval_regressor(dataset_name)
+        Jid = JID_DICT.get(dataset_name, None)
+        jreg_dev = None if J_regressor is None else jnp.asarray(J_regressor)
+
+        jit_fwd = jax.jit(lambda imgs: apply_fn(imgs, jreg_dev))
+
+        start = time.time()
+        n_batches = 0
+        for target in dataloader:
+            images = np.asarray(target["images"])  # (N, P, H, W, 3)
+            N = images.shape[0]
+            pad_n = 0
+            if batch_size is not None and N < batch_size:
+                pad_n = batch_size - N
+                images = np.concatenate(
+                    [images, np.zeros((pad_n,) + images.shape[1:], images.dtype)], axis=0
+                )
+
+            orig_len = images.shape[1]
+            interp_len = images[:, ::interp].shape[1]
+            sample_freq = interp_len // seqlen
+
+            # joints with nonzero conf in the first target frame define the
+            # target joint subset (static per dataset)
+            kp3d = np.asarray(target["kp_3d"])
+            valid_joints = [j for j in range(kp3d.shape[2]) if kp3d[0, 0, j, -1]]
+
+            per_clip = defaultdict(list)
+            for i in range(sample_freq):
+                inp = images[:, ::interp][:, i::sample_freq]
+                preds = jit_fwd(jnp.asarray(inp))
+                preds = jax.tree.map(np.asarray, preds)
+                if pad_n:
+                    preds = jax.tree.map(lambda a: a[:N], preds)
+                per_clip["verts"].append(preds["verts"])
+                per_clip["j3d"].append(preds["kp_3d"][:, :, Jid] if Jid else preds["kp_3d"])
+                per_clip["j2d"].append(preds["kp_2d"][:, :, Jid] if Jid else preds["kp_2d"])
+                per_clip["theta"].append(preds["theta"])
+                per_clip["rotmat"].append(preds["rotmat"])
+
+            valid_seq = np.asarray(target["valid"]).reshape(-1)
+
+            for key, out_key in [
+                ("verts", "pred_verts"), ("j3d", "pred_j3d"), ("j2d", "pred_j2d"),
+                ("theta", "pred_theta"), ("rotmat", "pred_rotmat"),
+            ]:
+                merged = interpolate_sequence(
+                    merge_sequence(per_clip[key]), orig_len, interp_len
+                )[valid_seq]
+                self.accumulators[out_key].append(merged)
+
+            flat = lambda x: np.asarray(x).reshape((-1,) + np.asarray(x).shape[2:])
+            self.accumulators["target_j3d"].append(flat(kp3d[:, :, valid_joints])[valid_seq])
+            self.accumulators["target_j2d"].append(
+                flat(np.asarray(target["kp_2d"])[:, :, valid_joints])[valid_seq]
+            )
+            self.accumulators["target_theta"].append(flat(target["theta"])[valid_seq])
+
+            if "instance_id" in target:
+                ids = np.reshape(np.array(target["instance_id"]), (-1,))[valid_seq]
+                self.accumulators["instance_id"].append(ids)
+            if "paths" in target:
+                paths = np.reshape(np.array(target["paths"]), (-1,))[valid_seq]
+                self.accumulators["paths"].append(paths)
+            if "bbox" in target:
+                bb = np.reshape(np.asarray(target["bbox"]), (-1, 4))[valid_seq]
+                self.accumulators["bboxes"].append(bb)
+            n_batches += 1
+
+        if verbose:
+            dt = time.time() - start
+            print(f"[Evaluating] {n_batches} batches in {dt:.1f}s")
+
+    # ------------------------------------------------------------------ #
+    def _gt_verts(self, target_theta: np.ndarray) -> np.ndarray:
+        """Rebuild GT vertices from theta via the native SMPL, in chunks."""
+        outs = []
+        n = target_theta.shape[0]
+        chunk = 5000
+        fwd = jax.jit(
+            lambda betas, pose: smpl_forward(self.smpl_model, betas, pose_axis_angle=pose)["vertices"]
+        )
+        for s in range(0, n, chunk):
+            betas = target_theta[s:s + chunk, 75:]
+            pose = target_theta[s:s + chunk, 3:75]
+            pad = 0
+            if betas.shape[0] < chunk and n > chunk:
+                pad = chunk - betas.shape[0]
+                betas = np.pad(betas, ((0, pad), (0, 0)))
+                pose = np.pad(pose, ((0, pad), (0, 0)))
+            v = np.asarray(fwd(jnp.asarray(betas, jnp.float32), jnp.asarray(pose, jnp.float32)))
+            outs.append(v[: chunk - pad] if pad else v)
+        return np.concatenate(outs, axis=0)
+
+    def evaluate(self, save_path: str = "") -> tuple[Dict[str, float], int]:
+        acc = {k: np.concatenate(v, axis=0) for k, v in self.accumulators.items()}
+        self.accumulators = defaultdict(list)
+        self.accumulators.update({k: [v] for k, v in acc.items()})
+
+        pred_j3d = acc["pred_j3d"].astype(np.float32)
+        target_j3d = acc["target_j3d"][:, :, :-1].astype(np.float32)
+        vis = acc["target_j3d"][:, :, -1:].astype(np.float32)
+        num_pred = len(pred_j3d)
+
+        metric_fn = jax.jit(eval_metrics)
+        md = jax.tree.map(np.asarray, metric_fn(
+            jnp.asarray(pred_j3d), jnp.asarray(target_j3d), jnp.asarray(vis)
+        ))
+
+        target_verts = self._gt_verts(acc["target_theta"].astype(np.float32))
+        pve = np.asarray(
+            jax.jit(vert_error)(jnp.asarray(acc["pred_verts"], jnp.float32), jnp.asarray(target_verts))
+        )
+
+        m2mm = 1000.0
+        eval_dict = {
+            "mpjpe": float(np.mean(md["mpjpe"])) * m2mm,
+            "pa-mpjpe": float(np.mean(md["pa_mpjpe"])) * m2mm,
+            "pve": float(np.mean(pve)) * m2mm,
+            "accel": float(np.mean(md["accel"])) * m2mm,
+            "accel_err": float(np.mean(md["accel_err"])) * m2mm,
+        }
+        if save_path:
+            self.save_result(save_path)
+        return eval_dict, num_pred
+
+    def log(self, eval_dict, num_pred, desc=""):
+        print(f"Evaluated on {int(num_pred)} poses.")
+        print(desc + " ".join(f"{k.upper()}: {v:.4f}," for k, v in eval_dict.items()))
+
+    def run(self, apply_fn, dataloader, seqlen=16, interp=1, dataset_name="3dpw",
+            J_regressor=None, save_path="", verbose=True):
+        self.inference(apply_fn, dataloader, seqlen=seqlen, interp=interp,
+                       dataset_name=dataset_name, J_regressor=J_regressor,
+                       verbose=verbose)
+        eval_dict, num_pred = self.evaluate(save_path)
+        self.log(eval_dict, num_pred)
+        return eval_dict, num_pred
+
+    def save_result(self, save_path):
+        import joblib
+
+        save_fields = ["pred_theta", "pred_verts", "paths", "bboxes"]
+        acc = {k: np.concatenate(v, axis=0) for k, v in self.accumulators.items()
+               if k in save_fields}
+        joblib.dump(acc, osp.join(save_path, "inference.pkl"))

@@ -1,0 +1,221 @@
+"""Trainer: mixed 2D/3D/image epoch loop around one jitted train step.
+
+Parity target: /root/reference/lib/core/trainer.py:29-368. Differences by
+design (TPU-first):
+  * forward(video) + forward(image) + weighted backward + optimizer step are
+    ONE compiled executable (parallel/train_step.py) — no Python between
+    device ops;
+  * loss averaging across devices needs no explicit all_reduce: metrics come
+    out of the jitted step already reduced over the sharded batch;
+  * validation runs the Evaluator's jitted protocol every SAVE_FREQ epochs,
+    tracks best PA-MPJPE, writes orbax checkpoints (epoch_N / model_best /
+    best.txt).
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+import sys
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from maed_tpu.core.evaluate import Evaluator
+from maed_tpu.data.loaders import InfiniteLoader
+from maed_tpu.parallel.train_step import TrainState
+from maed_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from maed_tpu.utils.logging_utils import AverageMeter, StepTimer
+
+
+class Trainer:
+    def __init__(
+        self,
+        data_loaders: Dict,
+        train_step,
+        state: TrainState,
+        model,
+        smpl_model,
+        cfg,
+        logdir: str = "",
+        eval_apply_fn=None,
+        writer=None,
+        logger=None,
+        rank: int = 0,
+        num_iters_per_epoch: int = -1,
+        mesh=None,
+    ):
+        self.train_2d = InfiniteLoader(data_loaders["train_2d"]) if data_loaders.get("train_2d") else None
+        self.train_3d = InfiniteLoader(data_loaders["train_3d"]) if data_loaders.get("train_3d") else None
+        self.train_img = InfiniteLoader(data_loaders["train_img"]) if data_loaders.get("train_img") else None
+        self.valid_loader = data_loaders.get("valid")
+
+        self.train_step = train_step
+        self.state = state
+        self.model = model
+        self.smpl_model = smpl_model
+        self.cfg = cfg
+        self.logdir = logdir
+        self.writer = writer
+        self.logger = logger
+        self.rank = rank
+        self.mesh = mesh
+        self.eval_apply_fn = eval_apply_fn
+
+        self.start_epoch = cfg.TRAIN.START_EPOCH
+        self.end_epoch = cfg.TRAIN.END_EPOCH
+        self.save_freq = cfg.SAVE_FREQ
+        self.img_use_freq = cfg.TRAIN.IMG_USE_FREQ
+        self.epoch = self.start_epoch
+        self.train_global_step = 0
+        self.best_performance = float("inf")
+
+        if num_iters_per_epoch > 0:
+            self.num_iters = num_iters_per_epoch
+        else:
+            lens = [len(l.loader) for l in (self.train_2d, self.train_3d) if l]
+            self.num_iters = max(lens) if lens else len(self.train_img.loader)
+
+        if cfg.TRAIN.RESUME:
+            self.resume(cfg.TRAIN.RESUME)
+
+    # ------------------------------------------------------------------ #
+    def _device_batches(self, i: int):
+        """Pull one step's host batches and assemble the jit inputs."""
+        target_2d = next(self.train_2d) if self.train_2d else None
+        target_3d = next(self.train_3d) if self.train_3d else None
+        target_img = (
+            next(self.train_img)
+            if self.train_img and (i + 1) % self.img_use_freq == 0
+            else None
+        )
+
+        vid_batch = None
+        if target_2d is not None or target_3d is not None:
+            parts = [t["images"] for t in (target_2d, target_3d) if t is not None]
+            images = np.concatenate(parts, axis=0)
+            vid_batch = {
+                "images": images,
+                "target_3d": {
+                    k: np.asarray(target_3d[k])
+                    for k in ("kp_2d", "kp_3d", "theta", "w_smpl")
+                } if target_3d is not None else None,
+                "target_2d": {"kp_2d": np.asarray(target_2d["kp_2d"])}
+                if target_2d is not None else None,
+            }
+
+        img_batch = None
+        if target_img is not None:
+            img_batch = {
+                "image": np.asarray(target_img["image"]),
+                "kp_2d": np.asarray(target_img["kp_2d"]),
+                "kp_3d": np.asarray(target_img["kp_3d"]),
+                "theta": np.asarray(target_img["theta"]),
+                "w_smpl": np.asarray(target_img["w_smpl"]),
+            }
+        return vid_batch, img_batch
+
+    # ------------------------------------------------------------------ #
+    def train_epoch(self):
+        meters = {}
+        timer = StepTimer()
+        for i in range(self.num_iters):
+            timer.start()
+            vid_batch, img_batch = self._device_batches(i)
+            timer.mark("data")
+
+            self.state, metrics = self.train_step(self.state, vid_batch, img_batch)
+            timer.mark("step", block_on=metrics["loss"])
+
+            loss = float(metrics["loss"])
+            if np.isnan(loss):
+                sys.exit("Nan value in loss, exiting!...")
+
+            for k, v in metrics.items():
+                meters.setdefault(k, AverageMeter()).update(float(v))
+            if self.writer is not None and self.rank == 0:
+                for k, m in meters.items():
+                    self.writer.add_scalar(f"train_loss/{k}", m.avg, self.train_global_step)
+            self.train_global_step += 1
+
+            if self.rank == 0 and (i % 10 == 0 or i == self.num_iters - 1):
+                s = f"[Train] epoch {self.epoch + 1}/{self.end_epoch} it {i + 1}/{self.num_iters}"
+                s += "".join(f" | {k}: {m.avg:.3f}" for k, m in meters.items())
+                s += f" | data {timer.times.get('data', 0):.2f}s step {timer.times.get('step', 0):.2f}s"
+                (self.logger.info if self.logger else print)(s)
+        return {k: m.avg for k, m in meters.items()}
+
+    # ------------------------------------------------------------------ #
+    def validate(self):
+        if self.valid_loader is None or self.eval_apply_fn is None:
+            return None
+        evaluator = Evaluator(self.smpl_model)
+        apply_fn = self.eval_apply_fn(self.state)
+        eval_dict, num_pred = evaluator.run(
+            apply_fn, self.valid_loader,
+            seqlen=self.cfg.EVAL.SEQLEN, interp=self.cfg.EVAL.INTERPOLATION,
+            dataset_name=self.cfg.TRAIN.DATASET_EVAL.lower().replace("threedpw", "3dpw"),
+            verbose=self.rank == 0,
+        )
+        if self.writer is not None and self.rank == 0:
+            for k, v in eval_dict.items():
+                self.writer.add_scalar(f"eval/{k}", v, self.epoch)
+        return eval_dict
+
+    # ------------------------------------------------------------------ #
+    def fit(self):
+        for epoch in range(self.start_epoch, self.end_epoch):
+            self.epoch = epoch
+            for ld in (self.train_2d, self.train_3d, self.train_img):
+                if ld:
+                    ld.loader.set_epoch(epoch)
+            t0 = time.time()
+            train_metrics = self.train_epoch()
+            if self.logger and self.rank == 0:
+                self.logger.info(
+                    f"Epoch {epoch + 1} done in {time.time() - t0:.1f}s: {train_metrics}"
+                )
+
+            if (epoch + 1) % self.save_freq == 0:
+                eval_dict = self.validate()
+                performance = eval_dict["pa-mpjpe"] if eval_dict else float("inf")
+                if self.rank == 0 and self.logdir:
+                    self.save(performance, epoch)
+
+    # ------------------------------------------------------------------ #
+    def save(self, performance: float, epoch: int):
+        is_best = performance < self.best_performance
+        if is_best:
+            self.best_performance = performance
+        state_np = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "batch_stats": self.state.batch_stats,
+            "step": self.state.step,
+            "epoch": np.asarray(epoch),
+            "performance": np.asarray(performance),
+        }
+        save_checkpoint(self.logdir, state_np, is_best=is_best, name=f"epoch_{epoch}")
+        with open(osp.join(self.logdir, "best.txt"), "w") as f:
+            f.write(str(self.best_performance))
+
+    def resume(self, path: str):
+        ckpt = load_checkpoint(path)
+        self.state = TrainState(
+            params=ckpt["params"],
+            opt_state=jax.tree.map(
+                lambda ref, new: np.asarray(new),
+                self.state.opt_state, ckpt["opt_state"],
+            ) if "opt_state" in ckpt else self.state.opt_state,
+            batch_stats=ckpt.get("batch_stats", {}),
+            step=np.asarray(ckpt.get("step", 0)),
+            rng=self.state.rng,
+        )
+        self.start_epoch = int(ckpt.get("epoch", -1)) + 1
+        self.best_performance = float(ckpt.get("performance", float("inf")))
+        if self.logger and self.rank == 0:
+            self.logger.info(
+                f"=> resumed from {path} (epoch {self.start_epoch}, "
+                f"best {self.best_performance:.2f})"
+            )

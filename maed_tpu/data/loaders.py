@@ -1,0 +1,237 @@
+"""Host-sharded batching loaders (the TPU-native DistributedSampler + DataLoader).
+
+Parity target: /root/reference/lib/dataset/loaders.py:9-133 +
+DistributedSampler semantics (per-host shard, epoch-seeded reshuffle, padded
+to equal length across hosts). Implemented as a plain-Python iterator with a
+background prefetch thread per loader (no torch dependency) that keeps the
+device fed while augmentation runs on host CPU.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+class ConcatDataset:
+    def __init__(self, datasets: Sequence):
+        self.datasets = list(datasets)
+        self.cum = np.cumsum([len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self.cum[-1]) if len(self.datasets) else 0
+
+    def __getitem__(self, index, rng=None):
+        ds_idx = int(np.searchsorted(self.cum, index, side="right"))
+        base = 0 if ds_idx == 0 else int(self.cum[ds_idx - 1])
+        return self.datasets[ds_idx].__getitem__(index - base, rng=rng)
+
+
+def collate(samples):
+    """Stack a list of sample dicts into a batch dict (numpy)."""
+    out = {}
+    for k in samples[0]:
+        vals = [s[k] for s in samples]
+        if isinstance(vals[0], (str, bytes)) or (
+            isinstance(vals[0], list) and vals[0] and isinstance(vals[0][0], str)
+        ):
+            out[k] = vals  # strings / lists of strings (paths, instance ids)
+        elif isinstance(vals[0], np.ndarray) or np.isscalar(vals[0]) or isinstance(vals[0], np.generic):
+            out[k] = np.stack(vals, axis=0)
+        else:
+            out[k] = vals
+    return out
+
+
+class ShardedLoader:
+    """Iterates a dataset in batches over this host's shard of the indices.
+
+    shuffle=True draws a new permutation per epoch from seed+epoch (call
+    set_epoch like the reference trainer does). Equal-length shards are
+    guaranteed by padding with wrapped-around indices, so every host runs the
+    same number of steps (collective-friendly).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        rank: int = 0,
+        world_size: int = 1,
+        seed: int = 0,
+        drop_last: bool = True,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rank = rank
+        self.world_size = world_size
+        self.seed = seed
+        self.epoch = 0
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _shard_indices(self):
+        n = len(self.dataset)
+        if self.shuffle:
+            g = np.random.RandomState(self.seed + self.epoch)
+            order = g.permutation(n)
+        else:
+            order = np.arange(n)
+        # pad so each of the world_size shards has equal length
+        total = int(np.ceil(n / self.world_size)) * self.world_size
+        if total > n:
+            order = np.concatenate([order, order[: total - n]])
+        return order[self.rank::self.world_size]
+
+    def __len__(self):
+        per_shard = int(np.ceil(len(self.dataset) / self.world_size))
+        if self.drop_last:
+            return per_shard // self.batch_size
+        return int(np.ceil(per_shard / self.batch_size))
+
+    def _batches(self):
+        idxs = self._shard_indices()
+        nb = len(self)
+        for b in range(nb):
+            chunk = idxs[b * self.batch_size:(b + 1) * self.batch_size]
+            if len(chunk) < self.batch_size and self.drop_last:
+                return
+            samples = []
+            for i in chunk:
+                rng = np.random.RandomState(
+                    (self.seed + self.epoch * 1_000_003 + int(i)) % (2 ** 31 - 1)
+                )
+                samples.append(self.dataset.__getitem__(int(i), rng=rng))
+            yield collate(samples)
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err = []
+
+        def worker():
+            try:
+                for batch in self._batches():
+                    q.put(batch)
+            except BaseException as e:  # surface loader errors in the consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
+
+class InfiniteLoader:
+    """Cycles a ShardedLoader forever, bumping the epoch at each wrap
+    (the reference's StopIteration -> set_epoch -> re-iter pattern)."""
+
+    def __init__(self, loader: ShardedLoader):
+        self.loader = loader
+        self._it = iter(loader)
+        self.epoch = 0
+
+    def __next__(self):
+        try:
+            return next(self._it)
+        except StopIteration:
+            self.epoch += 1
+            self.loader.set_epoch(self.epoch)
+            self._it = iter(self.loader)
+            return next(self._it)
+
+
+def get_data_loaders(
+    cfg,
+    rank: int = 0,
+    world_size: int = 1,
+    db_overrides: Optional[dict] = None,
+    verbose: bool = True,
+):
+    """Build train-2D / train-3D / train-img / valid loaders per the config.
+
+    db_overrides maps dataset name -> preloaded DB dict (used by tests and
+    environments without the preprocessed DB files).
+    """
+    from maed_tpu.data.dataset import ImageDataset, VideoDataset
+    from maed_tpu.data.transforms import build_eval_transforms, build_train_transforms
+
+    d = cfg.DATASET
+    train_tf = build_train_transforms(d)
+    eval_tf = build_eval_transforms(d.WIDTH, d.HEIGHT)
+    db_overrides = db_overrides or {}
+
+    def vds(name, set_name, **kw):
+        return VideoDataset(
+            name, set_name, train_tf if set_name == "train" else eval_tf,
+            db=db_overrides.get(name), verbose=verbose, **kw,
+        )
+
+    loaders = {}
+
+    if cfg.TRAIN.DATASETS_2D:
+        ds2d = ConcatDataset([
+            vds(n, "train", seqlen=d.SEQLEN, sample_pool=d.SAMPLE_POOL,
+                overlap=d.OVERLAP, random_sample=d.RANDOM_SAMPLE,
+                random_start=d.RANDOM_START)
+            for n in cfg.TRAIN.DATASETS_2D
+        ])
+        loaders["train_2d"] = ShardedLoader(
+            ds2d, cfg.TRAIN.BATCH_SIZE_2D, shuffle=True, rank=rank,
+            world_size=world_size, seed=cfg.SEED_VALUE if cfg.SEED_VALUE > 0 else 0,
+        )
+
+    if cfg.TRAIN.DATASETS_3D:
+        ds3d = ConcatDataset([
+            vds(n, "train", seqlen=d.SEQLEN, sample_pool=d.SAMPLE_POOL,
+                overlap=8 if n == "3dpw" else d.OVERLAP,
+                random_sample=d.RANDOM_SAMPLE, random_start=d.RANDOM_START)
+            for n in cfg.TRAIN.DATASETS_3D
+        ])
+        loaders["train_3d"] = ShardedLoader(
+            ds3d, cfg.TRAIN.BATCH_SIZE_3D, shuffle=True, rank=rank,
+            world_size=world_size, seed=1 + (cfg.SEED_VALUE if cfg.SEED_VALUE > 0 else 0),
+        )
+
+    if cfg.TRAIN.DATASETS_IMG:
+        dsimg = ConcatDataset([
+            ImageDataset(n, "train", train_tf, db=db_overrides.get(n),
+                         verbose=verbose, subsample=5 if n == "mpii3d" else 1)
+            for n in cfg.TRAIN.DATASETS_IMG
+        ])
+        loaders["train_img"] = ShardedLoader(
+            dsimg, cfg.TRAIN.BATCH_SIZE_IMG, shuffle=True, rank=rank,
+            world_size=world_size, seed=2 + (cfg.SEED_VALUE if cfg.SEED_VALUE > 0 else 0),
+        )
+
+    eval_name = cfg.TRAIN.DATASET_EVAL.lower().replace("threedpw", "3dpw")
+    loaders["valid"] = ShardedLoader(
+        VideoDataset(
+            eval_name, "val", eval_tf, seqlen=cfg.EVAL.SEQLEN,
+            sample_pool=cfg.EVAL.SAMPLE_POOL, overlap=0,
+            random_sample=False, random_start=False,
+            db=db_overrides.get(eval_name + "_val"), verbose=verbose,
+        ),
+        cfg.EVAL.BATCH_SIZE, shuffle=False, rank=rank, world_size=world_size,
+        drop_last=False,
+    )
+    return loaders

@@ -1,0 +1,345 @@
+"""Host-side augmentation stack (numpy/cv2), clip-coherent like the reference.
+
+Parity targets:
+  /root/reference/lib/data_utils/transforms/crop.py          (affine crop)
+  /root/reference/lib/data_utils/transforms/color_jitter.py  (shared-factor jitter)
+  /root/reference/lib/data_utils/transforms/random_erase.py  (side-strip erase)
+  /root/reference/lib/data_utils/transforms/random_hflip.py  (mirror + kp/pose swap)
+  /root/reference/lib/data_utils/transforms/basic.py         (stack/normalize)
+
+Everything operates on dicts of numpy arrays: {'clip': [HWC uint8 frames],
+'kp_2d': (T, 49, 3), 'kp_3d': (T, 49, 4), 'pose': (T, 72), ...}. One
+augmentation draw is shared across all frames of a clip. Output of the full
+train/val stack: clip (T, H, W, 3) float32 ImageNet-normalized (NHWC — the
+TPU-native layout), kp_2d in [-1, 1].
+
+Each transform takes an explicit np.random.RandomState so the pipeline is
+reproducible and shardable (seeded per (epoch, index)).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import cv2
+import numpy as np
+
+from maed_tpu.data.keypoints import (
+    keypoint_2d_hflip,
+    keypoint_3d_hflip,
+    smpl_pose_hflip,
+)
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def _rotate_2d(pt, rot_rad):
+    sn, cs = np.sin(rot_rad), np.cos(rot_rad)
+    return np.array([pt[0] * cs - pt[1] * sn, pt[0] * sn + pt[1] * cs], np.float32)
+
+
+def gen_crop_trans(bbox, scale, rot, shift, out_w, out_h):
+    """Affine from bbox (cx, cy, w, h) + augmentation to the output patch.
+    Built from 3 control points exactly like the reference."""
+    src_w = bbox[2] * scale[0]
+    src_h = bbox[3] * scale[1]
+    src_center = np.asarray(bbox[:2], np.float32) + np.asarray(bbox[2:], np.float32) * np.asarray(shift, np.float32)
+
+    rot_rad = np.pi * rot / 180
+    src_downdir = _rotate_2d(np.array([0, src_h * 0.5], np.float32), rot_rad)
+    src_rightdir = _rotate_2d(np.array([src_w * 0.5, 0], np.float32), rot_rad)
+
+    dst_center = np.array([out_w * 0.5, out_h * 0.5], np.float32)
+    src = np.stack([src_center, src_center + src_downdir, src_center + src_rightdir]).astype(np.float32)
+    dst = np.stack(
+        [dst_center, dst_center + np.array([0, out_h * 0.5]), dst_center + np.array([out_w * 0.5, 0])]
+    ).astype(np.float32)
+    return cv2.getAffineTransform(src, dst)
+
+
+def apply_trans_points(kp, trans):
+    """(K, 2+) keypoints through a 2x3 affine; extra channels pass through."""
+    xy1 = np.concatenate([kp[:, :2], np.ones((kp.shape[0], 1))], axis=1)
+    out = kp.copy()
+    out[:, :2] = xy1 @ trans.T
+    return out
+
+
+class CropVideo:
+    """Crop-and-augment a clip around per-frame bboxes with one shared
+    (scale, rot, shift) draw."""
+
+    def __init__(self, height=224, width=224, rot_jitter=0.0, size_jitter=0.0,
+                 random_crop_p=0.0, random_crop_size=0.5):
+        self.h, self.w = height, width
+        self.rot_jitter = rot_jitter
+        self.size_jitter = size_jitter
+        self.random_crop_p = random_crop_p
+        self.random_crop_size = random_crop_size
+
+    def gen_augmentation(self, rng):
+        scale = rng.uniform(1.3 - self.size_jitter, 1.3 + self.size_jitter)
+        rot = rng.uniform(-self.rot_jitter, self.rot_jitter)
+        if rng.rand() < self.random_crop_p:
+            scale = rng.uniform(1.3 - self.random_crop_size, 1.3)
+            shift_w = rng.uniform(-(1.3 - scale) / 2.0, (1.3 - scale) / 2.0)
+            shift_h = rng.uniform(-(1.3 - scale) / 2.0, (1.3 - scale) / 2.0)
+            return (scale, scale), rot, (shift_w, shift_h)
+        return (scale, scale), rot, (0.0, 0.0)
+
+    def __call__(self, inst, rng: np.random.RandomState):
+        if "bbox" not in inst:
+            return inst
+        scale, rot, shift = self.gen_augmentation(rng)
+        clip, kps = [], []
+        kp_2d = inst.get("kp_2d")
+        for t, (frame, bbox) in enumerate(zip(inst["clip"], inst["bbox"])):
+            trans = gen_crop_trans(bbox, scale, rot, shift, self.w, self.h)
+            clip.append(
+                cv2.warpAffine(frame, trans, (self.w, self.h), flags=cv2.INTER_LINEAR,
+                               borderMode=cv2.BORDER_CONSTANT)
+            )
+            if kp_2d is not None:
+                kps.append(apply_trans_points(kp_2d[t], trans))
+        out = dict(inst)
+        out["clip"] = clip
+        if kp_2d is not None:
+            out["kp_2d"] = np.stack(kps, axis=0)
+        return out
+
+
+class ColorJitterVideo:
+    """Brightness/saturation/hue/contrast with factors and op order shared
+    across the clip (torchvision adjust_* semantics on uint8)."""
+
+    def __init__(self, brightness=0.0, contrast=0.0, saturation=0.0, hue=0.0):
+        self.b, self.c, self.s, self.h = brightness, contrast, saturation, hue
+
+    @staticmethod
+    def _brightness(img, f):
+        return np.clip(img.astype(np.float32) * f, 0, 255).astype(np.uint8)
+
+    @staticmethod
+    def _contrast(img, f):
+        mean = round(cv2.cvtColor(img, cv2.COLOR_RGB2GRAY).astype(np.float32).mean())
+        return np.clip(img.astype(np.float32) * f + mean * (1 - f), 0, 255).astype(np.uint8)
+
+    @staticmethod
+    def _saturation(img, f):
+        gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)[..., None].astype(np.float32)
+        return np.clip(img.astype(np.float32) * f + gray * (1 - f), 0, 255).astype(np.uint8)
+
+    @staticmethod
+    def _hue(img, f):
+        hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
+        h = hsv[..., 0].astype(np.int16)
+        hsv[..., 0] = ((h + int(round(f * 180))) % 180).astype(np.uint8)
+        return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+
+    def __call__(self, inst, rng: np.random.RandomState):
+        ops = []
+        if self.b > 0:
+            f = rng.uniform(max(0, 1 - self.b), 1 + self.b)
+            ops.append(lambda im, f=f: self._brightness(im, f))
+        if self.s > 0:
+            f = rng.uniform(max(0, 1 - self.s), 1 + self.s)
+            ops.append(lambda im, f=f: self._saturation(im, f))
+        if self.h > 0:
+            f = rng.uniform(-self.h, self.h)
+            ops.append(lambda im, f=f: self._hue(im, f))
+        if self.c > 0:
+            f = rng.uniform(max(0, 1 - self.c), 1 + self.c)
+            ops.append(lambda im, f=f: self._contrast(im, f))
+        order = rng.permutation(len(ops))
+        out = dict(inst)
+        out["clip"] = [
+            _chain(frame, [ops[i] for i in order]) for frame in inst["clip"]
+        ]
+        return out
+
+
+def _chain(img, fns):
+    for fn in fns:
+        img = fn(img)
+    return img
+
+
+class RandomEraseVideo:
+    """Erase a random-ratio strip from one of 4 sides (side shared per clip,
+    applied per-frame with probability `prob`); optional keypoint-confidence
+    zeroing for joints deep inside the erased strip.
+
+    Note: the reference erases *rows* for its left/right branches (an indexing
+    slip); here left/right erase columns, which matches the documented intent.
+    """
+
+    def __init__(self, prob=0.0, max_erase_part=0.5, random_filling=True,
+                 erase_kp=True, margin=0.1):
+        self.prob = prob
+        self.max_part = max_erase_part
+        self.random_filling = random_filling
+        self.erase_kp = erase_kp
+        self.margin = margin
+
+    def _fill(self, shape, rng):
+        if self.random_filling:
+            return rng.randint(256, size=shape).astype(np.uint8)
+        return np.zeros(shape, np.uint8)
+
+    def _erase(self, img, kp, side, ratio, rng):
+        h, w, _ = img.shape
+        img = img.copy()
+        if side == "top":
+            eh = int(h * ratio)
+            if eh > 0:
+                img[:eh] = self._fill((eh, w, 3), rng)
+                if self.erase_kp and kp is not None:
+                    far = eh - kp[:, 1] > h * self.margin
+                    kp[far, 2] = 0.0
+        elif side == "bottom":
+            eh = int(h * ratio)
+            if eh > 0:
+                img[h - eh:] = self._fill((eh, w, 3), rng)
+                if self.erase_kp and kp is not None:
+                    far = eh - (h - kp[:, 1]) > h * self.margin
+                    kp[far, 2] = 0.0
+        elif side == "left":
+            ew = int(w * ratio)
+            if ew > 0:
+                img[:, :ew] = self._fill((h, ew, 3), rng)
+                if self.erase_kp and kp is not None:
+                    far = ew - kp[:, 0] > w * self.margin
+                    kp[far, 2] = 0.0
+        else:  # right
+            ew = int(w * ratio)
+            if ew > 0:
+                img[:, w - ew:] = self._fill((h, ew, 3), rng)
+                if self.erase_kp and kp is not None:
+                    far = ew - (w - kp[:, 0]) > w * self.margin
+                    kp[far, 2] = 0.0
+        return img, kp
+
+    def __call__(self, inst, rng: np.random.RandomState):
+        side = ["left", "right", "top", "bottom"][rng.randint(4)]
+        kp_2d = inst.get("kp_2d")
+        clip, kps = [], []
+        for t, frame in enumerate(inst["clip"]):
+            kp = kp_2d[t].copy() if kp_2d is not None else None
+            if rng.rand() < self.prob:
+                frame, kp = self._erase(frame, kp, side, rng.rand() * self.max_part, rng)
+            clip.append(frame)
+            if kp is not None:
+                kps.append(kp)
+        out = dict(inst)
+        out["clip"] = clip
+        if kp_2d is not None:
+            out["kp_2d"] = np.stack(kps, axis=0)
+        return out
+
+
+class RandomHFlipVideo:
+    def __init__(self, p=0.5):
+        self.p = p
+
+    def __call__(self, inst, rng: np.random.RandomState):
+        if rng.rand() >= self.p:
+            return inst
+        out = dict(inst)
+        width = inst["clip"][0].shape[1]
+        out["clip"] = [np.ascontiguousarray(f[:, ::-1]) for f in inst["clip"]]
+        out["kp_2d"] = keypoint_2d_hflip(inst["kp_2d"].copy(), width)
+        if "kp_3d" in inst:
+            out["kp_3d"] = keypoint_3d_hflip(inst["kp_3d"].copy())
+        if "pose" in inst:
+            out["pose"] = smpl_pose_hflip(inst["pose"].copy())
+        return out
+
+
+class StackNormalize:
+    """[0,255] HWC uint8 frames -> (T, H, W, 3) float32, ImageNet-normalized;
+    kp_2d xy -> [-1, 1]."""
+
+    def __init__(self, patch_size=224):
+        self.patch_size = patch_size
+
+    def __call__(self, inst, rng=None):
+        clip = np.stack(inst["clip"], axis=0).astype(np.float32) / 255.0
+        clip = (clip - IMAGENET_MEAN) / IMAGENET_STD
+        out = dict(inst)
+        out["clip"] = clip
+        if "kp_2d" in inst:
+            kp = np.asarray(inst["kp_2d"], np.float32).copy()
+            kp[..., :2] = 2.0 * kp[..., :2] / self.patch_size - 1.0
+            out["kp_2d"] = kp
+        return out
+
+
+class FusedCropNormalize:
+    """Native (C++) fused affine-crop + ImageNet-normalize for the eval path
+    (no intermediate augmentations between crop and normalize). Falls back to
+    CropVideo + StackNormalize when the native library is unavailable."""
+
+    def __init__(self, height=224, width=224):
+        self.h, self.w = height, width
+        self._fallback = None
+
+    def __call__(self, inst, rng: np.random.RandomState):
+        from maed_tpu import native
+
+        if "bbox" not in inst or not native.native_available():
+            if self._fallback is None:
+                self._fallback = Compose([
+                    CropVideo(self.h, self.w), StackNormalize(self.w),
+                ])
+            return self._fallback(inst, rng)
+
+        trans = np.stack([
+            gen_crop_trans(bbox, (1.3, 1.3), 0.0, (0.0, 0.0), self.w, self.h)
+            for bbox in inst["bbox"]
+        ])
+        clip = native.clip_crop_normalize(inst["clip"], trans, self.h, self.w)
+        out = dict(inst)
+        out["clip"] = clip
+        if "kp_2d" in inst:
+            kps = np.stack([
+                apply_trans_points(kp, m) for kp, m in zip(inst["kp_2d"], trans)
+            ])
+            kps[..., :2] = 2.0 * kps[..., :2] / self.w - 1.0
+            out["kp_2d"] = kps.astype(np.float32)
+        return out
+
+
+class Compose:
+    def __init__(self, transforms):
+        self.transforms = transforms
+
+    def __call__(self, inst, rng: Optional[np.random.RandomState] = None):
+        rng = rng or np.random.RandomState()
+        for t in self.transforms:
+            inst = t(inst, rng)
+        return inst
+
+
+def build_train_transforms(cfg_dataset) -> Compose:
+    """The reference's train transform stack (train.py:40-57 equivalent)."""
+    d = cfg_dataset
+    ts = [
+        CropVideo(d.HEIGHT, d.WIDTH, d.ROT_JITTER, d.SIZE_JITTER,
+                  d.RANDOM_CROP_P, d.RANDOM_CROP_SIZE),
+    ]
+    if d.COLOR_JITTER > 0:
+        ts.append(ColorJitterVideo(d.COLOR_JITTER, d.COLOR_JITTER, d.COLOR_JITTER, 0.0))
+    if d.ERASE_PROB > 0:
+        ts.append(RandomEraseVideo(d.ERASE_PROB, d.ERASE_PART, d.ERASE_FILL,
+                                   d.ERASE_KP, d.ERASE_MARGIN))
+    if d.RANDOM_FLIP > 0:
+        ts.append(RandomHFlipVideo(d.RANDOM_FLIP))
+    ts.append(StackNormalize(d.WIDTH))
+    return Compose(ts)
+
+
+def build_eval_transforms(width=224, height=224, fused: bool = True) -> Compose:
+    if fused:
+        return Compose([FusedCropNormalize(height, width)])
+    return Compose([CropVideo(height, width), StackNormalize(width)])

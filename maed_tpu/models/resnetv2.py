@@ -1,0 +1,209 @@
+"""BiT-style ResNetV2 in flax.linen, NHWC, for the R50+ViT hybrid stem.
+
+Behavioral parity targets (architecture only, re-expressed TPU-first):
+  /root/reference/lib/models/resnetv2.py:74-93   weight-standardized SAME conv
+  /root/reference/lib/models/resnetv2.py:35-49   GroupNorm(32) + ReLU
+  /root/reference/lib/models/resnetv2.py:159-204 non-preact Bottleneck (ViT hybrid)
+  /root/reference/lib/models/resnetv2.py:111-156 pre-act Bottleneck
+  /root/reference/lib/models/resnetv2.py:245-343 stem/stages/assembly
+
+TPU notes: XLA's padding='SAME' is exactly TF SAME (which the reference
+emulates on top of torch), so no manual padding is needed. Convs run in NHWC
+with HWIO kernels, the native TPU layout. Weight standardization is computed
+in f32 regardless of compute dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def make_div(v: float, divisor: int = 8) -> int:
+    min_value = divisor
+    new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+class StdConv(nn.Module):
+    """Conv with weight standardization (per-output-channel over HWI) and TF
+    SAME padding. std uses the biased estimator and the reference's
+    (std + eps) denominator."""
+
+    features: int
+    kernel_size: tuple
+    strides: tuple = (1, 1)
+    use_bias: bool = False
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+            self.kernel_size + (x.shape[-1], self.features),
+            jnp.float32,
+        )
+        mean = kernel.mean(axis=(0, 1, 2), keepdims=True)
+        var = kernel.var(axis=(0, 1, 2), keepdims=True)
+        kernel = (kernel - mean) / (jnp.sqrt(var) + self.eps)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=self.strides,
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class GroupNormAct(nn.Module):
+    num_groups: int = 32
+    eps: float = 1e-5
+    apply_act: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps, dtype=self.dtype)(x)
+        if self.apply_act:
+            y = nn.relu(y)
+        return y
+
+
+def max_pool_same(x, window=3, stride=2):
+    return nn.max_pool(
+        x, window_shape=(window, window), strides=(stride, stride), padding="SAME"
+    )
+
+
+class DownsampleConv(nn.Module):
+    features: int
+    strides: tuple
+    preact: bool
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = StdConv(self.features, (1, 1), self.strides, dtype=self.dtype, name="conv")(x)
+        if not self.preact:
+            y = GroupNormAct(apply_act=False, dtype=self.dtype, name="norm")(y)
+        return y
+
+
+class Bottleneck(nn.Module):
+    """Non-pre-activation bottleneck (the variant the ViT hybrid stem uses)."""
+
+    out_chs: int
+    stride: int = 1
+    bottle_ratio: float = 0.25
+    dtype: Any = jnp.float32
+    has_downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        mid = make_div(self.out_chs * self.bottle_ratio)
+        shortcut = x
+        if self.has_downsample:
+            shortcut = DownsampleConv(
+                self.out_chs, (self.stride, self.stride), preact=False,
+                dtype=self.dtype, name="downsample",
+            )(x)
+        y = StdConv(mid, (1, 1), dtype=self.dtype, name="conv1")(x)
+        y = GroupNormAct(dtype=self.dtype, name="norm1")(y)
+        y = StdConv(mid, (3, 3), (self.stride, self.stride), dtype=self.dtype, name="conv2")(y)
+        y = GroupNormAct(dtype=self.dtype, name="norm2")(y)
+        y = StdConv(self.out_chs, (1, 1), dtype=self.dtype, name="conv3")(y)
+        y = GroupNormAct(apply_act=False, dtype=self.dtype, name="norm3")(y)
+        return nn.relu(y + shortcut)
+
+
+class PreActBottleneck(nn.Module):
+    out_chs: int
+    stride: int = 1
+    bottle_ratio: float = 0.25
+    dtype: Any = jnp.float32
+    has_downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        mid = make_div(self.out_chs * self.bottle_ratio)
+        x_preact = GroupNormAct(dtype=self.dtype, name="norm1")(x)
+        shortcut = x
+        if self.has_downsample:
+            shortcut = DownsampleConv(
+                self.out_chs, (self.stride, self.stride), preact=True,
+                dtype=self.dtype, name="downsample",
+            )(x_preact)
+        y = StdConv(mid, (1, 1), dtype=self.dtype, name="conv1")(x_preact)
+        y = GroupNormAct(dtype=self.dtype, name="norm2")(y)
+        y = StdConv(mid, (3, 3), (self.stride, self.stride), dtype=self.dtype, name="conv2")(y)
+        y = GroupNormAct(dtype=self.dtype, name="norm3")(y)
+        y = StdConv(self.out_chs, (1, 1), dtype=self.dtype, name="conv3")(y)
+        return y + shortcut
+
+
+class ResNetStage(nn.Module):
+    out_chs: int
+    depth: int
+    stride: int
+    preact: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        block_cls = PreActBottleneck if self.preact else Bottleneck
+        for i in range(self.depth):
+            x = block_cls(
+                out_chs=self.out_chs,
+                stride=self.stride if i == 0 else 1,
+                has_downsample=(i == 0),
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(x)
+        return x
+
+
+class ResNetV2(nn.Module):
+    """3- or 4-stage ResNetV2 feature extractor (no classifier head).
+
+    With layers=(3, 4, 9), preact=False this is the hybrid-ViT stem: input
+    (B, 224, 224, 3) -> (B, 14, 14, 1024).
+    """
+
+    layers: Sequence[int] = (3, 4, 9)
+    channels: Sequence[int] = (256, 512, 1024, 2048)
+    stem_chs: int = 64
+    width_factor: int = 1
+    preact: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        wf = self.width_factor
+        y = StdConv(make_div(self.stem_chs * wf), (7, 7), (2, 2), dtype=self.dtype, name="stem_conv")(x)
+        if not self.preact:
+            y = GroupNormAct(dtype=self.dtype, name="stem_norm")(y)
+        y = max_pool_same(y, 3, 2)
+
+        for stage_idx, (d, c) in enumerate(zip(self.layers, self.channels)):
+            y = ResNetStage(
+                out_chs=make_div(c * wf),
+                depth=d,
+                stride=1 if stage_idx == 0 else 2,
+                preact=self.preact,
+                dtype=self.dtype,
+                name=f"stage{stage_idx}",
+            )(y)
+        if self.preact:
+            y = GroupNormAct(dtype=self.dtype, name="norm")(y)
+        return y

@@ -1,0 +1,163 @@
+// Fused host-side clip assembly: affine crop (bilinear, constant border) +
+// [0,255] -> ImageNet-normalized float32, multi-threaded over frames.
+//
+// This is the hot host path of the input pipeline (the equivalent of the
+// reference's cv2.warpAffine + ToTensor + Normalize chain,
+// /root/reference/lib/data_utils/transforms/{crop,basic}.py) fused into one
+// pass over the output pixels: one gather + one FMA per channel, no
+// intermediate uint8 crop buffer, no separate normalize pass. Exposed to
+// Python via ctypes (maed_tpu/native/__init__.py); build with build.sh.
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct FrameTask {
+  const uint8_t* src;   // H_in x W_in x 3, RGB
+  int src_h, src_w;
+  const double* inv;    // 2x3 inverse affine (output px -> input px)
+  float* dst;           // out_h x out_w x 3, float32
+};
+
+// mean/std in [0,1] space; folded into the 1/255 scale below.
+constexpr float kMean[3] = {0.485f, 0.456f, 0.406f};
+constexpr float kStd[3] = {0.229f, 0.224f, 0.225f};
+
+inline void process_frame(const FrameTask& t, int out_h, int out_w) {
+  const float scale[3] = {1.0f / (255.0f * kStd[0]), 1.0f / (255.0f * kStd[1]),
+                          1.0f / (255.0f * kStd[2])};
+  const float bias[3] = {-kMean[0] / kStd[0], -kMean[1] / kStd[1],
+                         -kMean[2] / kStd[2]};
+  const double a = t.inv[0], b = t.inv[1], c = t.inv[2];
+  const double d = t.inv[3], e = t.inv[4], f = t.inv[5];
+
+  const size_t stride = static_cast<size_t>(t.src_w) * 3;
+
+  for (int y = 0; y < out_h; ++y) {
+    float* row = t.dst + static_cast<size_t>(y) * out_w * 3;
+    // input coordinates move linearly along the row: precompute start + step
+    const double row_sx = b * y + c;
+    const double row_sy = e * y + f;
+
+    // interior span: output x where all 4 bilinear taps are in-bounds for
+    // BOTH coordinates. Solve the linear constraints 0 <= x0, x0+1 < W,
+    // 0 <= y0, y0+1 < H conservatively.
+    int lo = 0, hi = out_w;  // [lo, hi) handled by the fast path
+    auto clamp_span = [&](double step, double start, double min_v, double max_v) {
+      // need min_v <= start + step*x <= max_v for x in [lo, hi)
+      if (std::fabs(step) < 1e-12) {
+        if (start < min_v || start > max_v) { lo = 0; hi = 0; }
+        return;
+      }
+      double x1 = (min_v - start) / step;
+      double x2 = (max_v - start) / step;
+      if (x1 > x2) std::swap(x1, x2);
+      lo = std::max(lo, static_cast<int>(std::ceil(x1)));
+      hi = std::min(hi, static_cast<int>(std::floor(x2)) + 1);
+    };
+    clamp_span(a, row_sx, 0.0, static_cast<double>(t.src_w) - 2.0);
+    clamp_span(d, row_sy, 0.0, static_cast<double>(t.src_h) - 2.0);
+    if (lo > hi) { lo = hi = 0; }
+
+    auto slow_pixel = [&](int x) {
+      const double sx = row_sx + a * x;
+      const double sy = row_sy + d * x;
+      const int x0 = static_cast<int>(std::floor(sx));
+      const int y0 = static_cast<int>(std::floor(sy));
+      const float fx = static_cast<float>(sx - x0);
+      const float fy = static_cast<float>(sy - y0);
+      const bool in00 = (x0 >= 0) & (x0 < t.src_w) & (y0 >= 0) & (y0 < t.src_h);
+      const bool in10 = (x0 + 1 >= 0) & (x0 + 1 < t.src_w) & (y0 >= 0) & (y0 < t.src_h);
+      const bool in01 = (x0 >= 0) & (x0 < t.src_w) & (y0 + 1 >= 0) & (y0 + 1 < t.src_h);
+      const bool in11 = (x0 + 1 >= 0) & (x0 + 1 < t.src_w) & (y0 + 1 >= 0) & (y0 + 1 < t.src_h);
+      const float w00 = (1 - fx) * (1 - fy);
+      const float w10 = fx * (1 - fy);
+      const float w01 = (1 - fx) * fy;
+      const float w11 = fx * fy;
+      const uint8_t* p00 = in00 ? t.src + (static_cast<size_t>(y0) * t.src_w + x0) * 3 : nullptr;
+      const uint8_t* p10 = in10 ? t.src + (static_cast<size_t>(y0) * t.src_w + x0 + 1) * 3 : nullptr;
+      const uint8_t* p01 = in01 ? t.src + (static_cast<size_t>(y0 + 1) * t.src_w + x0) * 3 : nullptr;
+      const uint8_t* p11 = in11 ? t.src + (static_cast<size_t>(y0 + 1) * t.src_w + x0 + 1) * 3 : nullptr;
+      for (int ch = 0; ch < 3; ++ch) {
+        float v = 0.f;
+        if (p00) v += w00 * p00[ch];
+        if (p10) v += w10 * p10[ch];
+        if (p01) v += w01 * p01[ch];
+        if (p11) v += w11 * p11[ch];
+        row[x * 3 + ch] = v * scale[ch] + bias[ch];
+      }
+    };
+
+    for (int x = 0; x < lo; ++x) slow_pixel(x);
+    // branch-free interior
+    for (int x = lo; x < hi; ++x) {
+      const double sx = row_sx + a * x;
+      const double sy = row_sy + d * x;
+      const int x0 = static_cast<int>(sx);
+      const int y0 = static_cast<int>(sy);
+      const float fx = static_cast<float>(sx - x0);
+      const float fy = static_cast<float>(sy - y0);
+      const float w00 = (1 - fx) * (1 - fy);
+      const float w10 = fx * (1 - fy);
+      const float w01 = (1 - fx) * fy;
+      const float w11 = fx * fy;
+      const uint8_t* p00 = t.src + static_cast<size_t>(y0) * stride + x0 * 3;
+      const uint8_t* p01 = p00 + stride;
+      for (int ch = 0; ch < 3; ++ch) {
+        const float v = w00 * p00[ch] + w10 * p00[3 + ch] +
+                        w01 * p01[ch] + w11 * p01[3 + ch];
+        row[x * 3 + ch] = v * scale[ch] + bias[ch];
+      }
+    }
+    for (int x = hi; x < out_w; ++x) slow_pixel(x);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// frames: T pointers to H_in x W_in x 3 uint8 RGB buffers (per-frame sizes in
+// src_hw, shape (T, 2) as h, w). inv_trans: (T, 6) row-major 2x3 inverse
+// affines mapping OUTPUT pixel (x, y) to INPUT coordinates. out: float32
+// buffer (T, out_h, out_w, 3). n_threads <= 0 selects hardware concurrency.
+void clip_crop_normalize(const uint8_t** frames, const int* src_hw, int T,
+                         const double* inv_trans, int out_h, int out_w,
+                         float* out, int n_threads) {
+  if (n_threads <= 0) {
+    n_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  if (n_threads > T) n_threads = T;
+
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    int i;
+    while ((i = next.fetch_add(1)) < T) {
+      FrameTask task;
+      task.src = frames[i];
+      task.src_h = src_hw[i * 2];
+      task.src_w = src_hw[i * 2 + 1];
+      task.inv = inv_trans + i * 6;
+      task.dst = out + static_cast<size_t>(i) * out_h * out_w * 3;
+      process_frame(task, out_h, out_w);
+    }
+  };
+
+  if (n_threads == 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads);
+  for (int i = 0; i < n_threads; ++i) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}
+
+}  // extern "C"

@@ -1,0 +1,92 @@
+"""Device mesh construction and parameter partition rules.
+
+Replaces the reference's torch.distributed/NCCL runtime (SURVEY.md L6):
+  - data parallelism  = batch sharded over the 'dp' mesh axis; XLA inserts the
+    gradient all-reduce (the DistributedDataParallel equivalent,
+    /root/reference/train.py:113).
+  - tensor parallelism = Megatron-style column/row sharding of the ViT
+    qkv/proj and MLP matmuls over the 'tp' axis (beyond-reference capability,
+    useful for bigger encoders on a slice).
+
+Everything is jax.sharding: pick a mesh, annotate in/out shardings, let GSPMD
+place the collectives on ICI.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
+    """Build a ('dp', 'tp') mesh. dp defaults to n_devices // tp."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp is None:
+        dp = n // tp
+    assert dp * tp <= n, f"mesh {dp}x{tp} needs {dp * tp} devices, have {n}"
+    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+# (regex over 'path/to/param', PartitionSpec) — first match wins.
+_TP_RULES = [
+    (r".*attn/qkv/kernel$", P(None, "tp")),
+    (r".*attn/qkv/bias$", P("tp")),
+    (r".*attn/proj/kernel$", P("tp", None)),
+    (r".*mlp/fc1/kernel$", P(None, "tp")),
+    (r".*mlp/fc1/bias$", P("tp")),
+    (r".*mlp/fc2/kernel$", P("tp", None)),
+]
+
+
+def param_spec(path: str) -> P:
+    for pattern, spec in _TP_RULES:
+        if re.match(pattern, path):
+            return spec
+    return P()  # replicated
+
+
+def _flatten_path(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree for a param pytree (Megatron TP rules + replicate)."""
+    def spec_for(path, leaf):
+        return NamedSharding(mesh, param_spec(_flatten_path(path)))
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis data sharding for input batches."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a host batch dict with the batch axis over 'dp'.
+
+    Leaves whose leading dim isn't divisible by the dp size (e.g. a small 3D
+    target sub-batch inside a mixed composition) are replicated instead —
+    GSPMD still keeps the compute sharded along the images' batch axis.
+    """
+    dp = mesh.shape["dp"]
+    sharded = batch_sharding(mesh)
+    replic = replicated(mesh)
+
+    def put(a):
+        a = np.asarray(a) if not hasattr(a, "shape") else a
+        if getattr(a, "ndim", 0) >= 1 and a.shape[0] % dp == 0:
+            return jax.device_put(a, sharded)
+        return jax.device_put(a, replic)
+
+    return jax.tree.map(put, batch)

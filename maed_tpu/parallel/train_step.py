@@ -1,0 +1,157 @@
+"""The jitted training step: forward (video + image), loss, grad, update.
+
+Replaces the reference's per-iteration torch loop
+(/root/reference/lib/core/trainer.py:169-248): both forwards, the
+per-sample-count loss weighting nt_vid/(nt_img+nt_vid), one backward, and the
+optimizer step fuse into a single XLA executable. Under a ('dp','tp') mesh
+with the batch sharded over 'dp', GSPMD inserts the gradient all-reduce that
+DistributedDataParallel provided in the reference.
+
+Optimizer parity: torch.optim.Adam(weight_decay=wd) is L2-to-gradient, i.e.
+optax.chain(add_decayed_weights(wd), adam-core); LR follows the reference's
+LambdaLR(warmup then 0.1^milestones) as a per-step schedule.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from maed_tpu.core.loss import LossWeights, image_loss, merge_loss, video_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    batch_stats: Any          # {} for BN-free models
+    step: jnp.ndarray
+    rng: jax.Array
+
+
+def warmup_milestone_schedule(base_lr, warmup_epoch, warmup_factor, milestones,
+                              steps_per_epoch):
+    """epoch < warmup: (epoch+1)*warmup_factor; else 0.1^#passed-milestones.
+    (Parity with /root/reference/train.py:123.)"""
+    def schedule(step):
+        epoch = step // steps_per_epoch
+        warm = (epoch + 1.0) * warmup_factor
+        decayed = 1.0
+        for m in milestones:
+            decayed = decayed * jnp.where(epoch >= m, 0.1, 1.0)
+        scale = jnp.where(epoch < warmup_epoch, warm, decayed)
+        return base_lr * scale
+
+    return schedule
+
+
+def make_optimizer(cfg_optim, steps_per_epoch: int) -> optax.GradientTransformation:
+    schedule = warmup_milestone_schedule(
+        cfg_optim.LR, cfg_optim.WARMUP_EPOCH, cfg_optim.WARMUP_FACTOR,
+        list(cfg_optim.MILESTONES), steps_per_epoch,
+    )
+    if cfg_optim.OPTIM.lower() == "adam":
+        core = optax.chain(
+            optax.add_decayed_weights(cfg_optim.WD),
+            optax.scale_by_adam(),
+            optax.scale_by_learning_rate(schedule),
+        )
+    elif cfg_optim.OPTIM.lower() == "sgd":
+        core = optax.chain(
+            optax.trace(decay=cfg_optim.MOMENTUM),
+            optax.scale_by_learning_rate(schedule),
+        )
+    else:
+        raise NotImplementedError(cfg_optim.OPTIM)
+    return core
+
+
+def init_train_state(model, tx, sample_vid, smpl_model, rng) -> TrainState:
+    variables = model.init(rng, sample_vid, smpl_model)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        batch_stats=batch_stats,
+        step=jnp.zeros((), jnp.int32),
+        rng=rng,
+    )
+
+
+def make_train_step(model, tx, smpl_model, loss_weights: LossWeights,
+                    has_batch_stats: bool = False, donate: bool = True):
+    """Builds train_step(state, vid_batch, img_batch) -> (state, metrics).
+
+    vid_batch: {'images' (Nv, T, H, W, 3), 'target_2d': {...} or None via
+    n_2d=0, 'target_3d': {...}}; img_batch: {'image' (Ni, H, W, 3), ...} or
+    None (built per composition — each composition is its own executable).
+    """
+
+    def apply(params, batch_stats, images, rng, train=True):
+        variables = {"params": params}
+        if has_batch_stats:
+            variables["batch_stats"] = batch_stats
+        kwargs = dict(deterministic=not train)
+        if train:
+            kwargs["rngs"] = {"dropout": rng}
+        if has_batch_stats and train:
+            out, updates = model.apply(
+                variables, images, smpl_model, mutable=["batch_stats"], **kwargs
+            )
+            return out, updates["batch_stats"]
+        return model.apply(variables, images, smpl_model, **kwargs), batch_stats
+
+    def train_step(state: TrainState, vid_batch: Optional[Dict],
+                   img_batch: Optional[Dict]):
+        rng, drop_rng = jax.random.split(state.rng)
+
+        nt_vid = 0 if vid_batch is None else (
+            vid_batch["images"].shape[0] * vid_batch["images"].shape[1]
+        )
+        nt_img = 0 if img_batch is None else img_batch["image"].shape[0]
+        w_vid = nt_vid / (nt_img + nt_vid)
+        w_img = 1.0 - w_vid
+
+        def loss_fn(params):
+            new_stats = state.batch_stats
+            loss_vid = 0.0
+            loss_img = 0.0
+            vid_dict, img_dict = {}, {}
+            if vid_batch is not None:
+                preds, new_stats = apply(
+                    params, new_stats, vid_batch["images"], drop_rng
+                )
+                loss_vid, vid_dict = video_loss(
+                    preds, vid_batch["target_3d"], vid_batch.get("target_2d"),
+                    loss_weights,
+                )
+            if img_batch is not None:
+                preds_img, new_stats = apply(
+                    params, new_stats, img_batch["image"][:, None], drop_rng
+                )
+                loss_img, img_dict = image_loss(preds_img, img_batch, loss_weights)
+            total = loss_vid * w_vid + loss_img * w_img
+            return total, (loss_vid, vid_dict, loss_img, img_dict, new_stats)
+
+        (total, (loss_vid, vid_dict, loss_img, img_dict, new_stats)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        _, merged = merge_loss(loss_vid, vid_dict, loss_img, img_dict, w_vid, w_img)
+        metrics = {"loss": total, **merged}
+
+        new_state = TrainState(
+            params=params, opt_state=opt_state, batch_stats=new_stats,
+            step=state.step + 1, rng=rng,
+        )
+        return new_state, metrics
+
+    if donate:
+        return jax.jit(train_step, donate_argnums=(0,), static_argnums=())
+    return jax.jit(train_step)

@@ -1,0 +1,86 @@
+"""Checkpointing: orbax-backed pytree save/restore with the reference's three
+load policies.
+
+Parity target: /root/reference/lib/core/trainer.py:330-368 (save/resume),
+/root/reference/train.py:97-111 (stage-2 init drops decoder),
+/root/reference/eval.py:26-35 (eval load). SMPL tensors are model constants
+here (not params), so the reference's 'drop smpl buffers' policy is
+automatic.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _checkpointer():
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(ckpt_dir: str, state: Dict[str, Any], is_best: bool = False,
+                    name: str = "checkpoint"):
+    """Save {params, opt_state, batch_stats, epoch, performance, ...}."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = osp.join(osp.abspath(ckpt_dir), name)
+    if osp.exists(path):
+        shutil.rmtree(path)
+    _checkpointer().save(path, jax.tree.map(np.asarray, state))
+    if is_best:
+        best = osp.join(osp.abspath(ckpt_dir), "model_best")
+        if osp.exists(best):
+            shutil.rmtree(best)
+        shutil.copytree(path, best)
+    return path
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    return _checkpointer().restore(osp.abspath(path))
+
+
+def _tree_update(dst: dict, src: dict, path=""):
+    """Recursively copy matching leaves from src into dst; returns the list of
+    src keys that had no destination (and fills only shape-compatible ones)."""
+    unused = []
+    for k, v in src.items():
+        if k not in dst:
+            unused.append(f"{path}{k}")
+            continue
+        if isinstance(v, dict) and isinstance(dst[k], dict):
+            unused += _tree_update(dst[k], v, path=f"{path}{k}/")
+        else:
+            if np.shape(dst[k]) == np.shape(v):
+                dst[k] = v
+            else:
+                unused.append(f"{path}{k} (shape {np.shape(v)} != {np.shape(dst[k])})")
+    return unused
+
+
+def load_pretrained_params(params: dict, ckpt_params: dict,
+                           drop_decoder: bool = True) -> dict:
+    """Stage-2 init policy: copy encoder weights, skip the decoder (the
+    reference found stage-1 decoder weights hurt stage-2)."""
+    params = jax.tree.map(lambda x: x, params)  # copy
+    src = {k: v for k, v in ckpt_params.items() if not (drop_decoder and k == "decoder")}
+    _tree_update(params, src)
+    return params
+
+
+def load_eval_params(params: dict, ckpt_params: dict) -> dict:
+    """Eval policy: everything (SMPL constants live outside params)."""
+    params = jax.tree.map(lambda x: x, params)
+    unused = _tree_update(params, ckpt_params)
+    if unused:
+        print(f"[checkpoint] {len(unused)} unused/incompatible keys: {unused[:5]}...")
+    return params
+
+
+def resume_state(path: str) -> Dict[str, Any]:
+    """Strict resume: params + opt_state + epoch + best performance."""
+    return load_checkpoint(path)

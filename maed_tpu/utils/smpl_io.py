@@ -94,7 +94,7 @@ def synthetic_smpl_model(num_verts: int = 400, seed: int = 0) -> SMPLModel:
     lbs_weights /= lbs_weights.sum(axis=1, keepdims=True)
     J_regressor_extra = np.abs(rng.rand(9, V)).astype(np.float32)
     J_regressor_extra /= J_regressor_extra.sum(axis=1, keepdims=True)
-    vertex_joint_ids = rng.choice(V, size=21, replace=False)
+    vertex_joint_ids = rng.choice(V, size=21, replace=V < 21)
     return make_model(
         v_template=v_template,
         shapedirs=shapedirs,

@@ -16,6 +16,17 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
+
+# The axon sitecustomize force-registers the TPU backend and overrides
+# JAX_PLATFORMS; pin the platform explicitly so tests really run on the
+# virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
+# Single-core VM: persistent compile cache makes repeated test runs bearable.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,154 @@
+"""Evaluator windowing/merge/interp logic tests with a fake model whose
+predictions encode the frame index, so temporal re-assembly is verifiable
+bit-exactly, plus an end-to-end metric sanity check: perfect predictions give
+(near-)zero errors."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from maed_tpu.core.evaluate import Evaluator, interpolate_sequence, merge_sequence
+from maed_tpu.ops.smpl import smpl_forward
+from maed_tpu.utils.smpl_io import synthetic_smpl_model
+
+
+def test_merge_sequence_restores_temporal_order():
+    # two sub-clips sampled as frames [0,2,4,6] and [1,3,5,7]
+    a = np.arange(0, 8, 2).reshape(1, 4, 1)
+    b = np.arange(1, 8, 2).reshape(1, 4, 1)
+    merged = merge_sequence([a, b])
+    np.testing.assert_array_equal(merged.ravel(), np.arange(8))
+
+
+def test_interpolate_identity_when_no_skip():
+    x = np.random.randn(8, 3)
+    np.testing.assert_array_equal(interpolate_sequence(x, 8, 8), x)
+
+
+def test_interpolate_linear_doubling():
+    """Reference grid semantics: predictions sit at x=(k+1)/L, outputs at
+    x=t/(orig_len-1); the first frames are linearly extrapolated."""
+    seq = np.array([[0.0], [2.0], [4.0], [6.0]]).reshape(4, 1)
+    out = interpolate_sequence(seq, orig_len=8, interp_len=4)
+    assert out.shape == (8, 1)
+    # values are linear in x with slope 8 (f(x) = 8x - 2 through the 4 points)
+    expected = 8.0 * np.linspace(0, 1, 8) - 2.0
+    np.testing.assert_allclose(out[:, 0], expected, atol=1e-6)
+    assert out[-1, 0] == pytest.approx(6.0, abs=1e-6)  # endpoint = last pred
+
+
+class FakeLoader:
+    """One batch of 2 windows x pool frames; 'images' carry the frame index in
+    pixel (0,0,0) so the fake model can echo temporal order."""
+
+    def __init__(self, pool=16, n=2, img=8):
+        self.pool, self.n, self.img = pool, n, img
+
+    def __iter__(self):
+        pool, n, img = self.pool, self.n, self.img
+        images = np.zeros((n, pool, img, img, 3), np.float32)
+        for b in range(n):
+            for t in range(pool):
+                images[b, t, 0, 0, 0] = b * pool + t
+        kp3d = np.concatenate(
+            [np.random.RandomState(0).randn(n, pool, 49, 3).astype(np.float32),
+             np.ones((n, pool, 49, 1), np.float32)], axis=3,
+        )
+        kp2d = kp3d[..., :3].copy()
+        theta = np.zeros((n, pool, 85), np.float32)
+        valid = np.ones((n, pool), bool)
+        valid[1, -2:] = False  # simulate padded duplicate frames
+        yield {
+            "images": images, "kp_3d": kp3d, "kp_2d": kp2d, "theta": theta,
+            "valid": valid,
+        }
+
+
+def fake_apply(images, J_regressor=None):
+    """Echo the frame id into every output so merge order is checkable."""
+    N, T = images.shape[:2]
+    fid = images[:, :, 0, 0, 0]  # (N, T)
+    mk = lambda shape: jnp.broadcast_to(
+        fid.reshape((N, T) + (1,) * len(shape)), (N, T) + shape
+    )
+    return {
+        "verts": mk((10, 3)),
+        "kp_3d": mk((49, 3)),
+        "kp_2d": mk((49, 2)),
+        "theta": mk((85,)),
+        "rotmat": mk((24, 3, 3)),
+    }
+
+
+def test_evaluator_window_reassembly():
+    model = synthetic_smpl_model(num_verts=10)
+    ev = Evaluator(model)
+    ev.inference(fake_apply, FakeLoader(pool=16), seqlen=4, interp=1,
+                 dataset_name="testset", verbose=False)
+    theta = np.concatenate(ev.accumulators["pred_theta"], axis=0)
+    # window 0: frames 0..15 all valid; window 1: last 2 dropped
+    expected = np.concatenate([np.arange(16), np.arange(16, 30)])
+    np.testing.assert_array_equal(theta[:, 0], expected)
+
+
+def test_evaluator_interp_mode_covers_all_frames():
+    model = synthetic_smpl_model(num_verts=10)
+    ev = Evaluator(model)
+    ev.inference(fake_apply, FakeLoader(pool=16), seqlen=4, interp=2,
+                 dataset_name="testset", verbose=False)
+    theta = np.concatenate(ev.accumulators["pred_theta"], axis=0)
+    # even frames 0,2,..14 are predicted; the reference's interp grid maps
+    # output frame t to f(t/15) with f(x) = 16x - 2 per window
+    w0 = 16.0 * np.linspace(0, 1, 16) - 2.0
+    w1 = 16.0 + w0
+    expected = np.concatenate([w0, w1[:-2]])  # last window drops 2 invalid
+    np.testing.assert_allclose(theta[:, 0], expected, atol=1e-4)
+
+
+def test_evaluator_end_to_end_zero_error():
+    """Predictions == ground truth must give ~0 mpjpe/pa-mpjpe/pve."""
+    model = synthetic_smpl_model(num_verts=64)
+    rng = np.random.RandomState(0)
+    n, pool = 1, 8
+
+    theta = np.zeros((n, pool, 85), np.float32)
+    theta[..., 3:75] = rng.randn(n, pool, 72) * 0.1
+    theta[..., 75:] = rng.randn(n, pool, 10) * 0.3
+    out = smpl_forward(
+        model,
+        jnp.asarray(theta.reshape(-1, 85)[:, 75:]),
+        pose_axis_angle=jnp.asarray(theta.reshape(-1, 85)[:, 3:75]),
+    )
+    verts = np.asarray(out["vertices"]).reshape(n, pool, -1, 3)
+    joints = np.asarray(out["joints"]).reshape(n, pool, 49, 3)
+
+    class Loader:
+        def __iter__(self):
+            images = np.zeros((n, pool, 4, 4, 3), np.float32)
+            kp3d = np.concatenate([joints, np.ones((n, pool, 49, 1), np.float32)], axis=3)
+            yield {
+                "images": images,
+                "kp_3d": kp3d,
+                "kp_2d": kp3d[..., :3].copy(),
+                "theta": theta,
+                "valid": np.ones((n, pool), bool),
+            }
+
+    def perfect_apply(images, J_regressor=None):
+        return {
+            "verts": jnp.asarray(verts.reshape(n, pool, -1, 3)),
+            "kp_3d": jnp.asarray(joints),
+            "kp_2d": jnp.asarray(joints[..., :2]),
+            "theta": jnp.asarray(theta),
+            "rotmat": jnp.zeros((n, pool, 24, 3, 3), jnp.float32),
+        }
+
+    ev = Evaluator(model)
+    ev.inference(perfect_apply, Loader(), seqlen=pool, interp=1,
+                 dataset_name="testset", verbose=False)
+    eval_dict, num = ev.evaluate()
+    assert num == n * pool
+    assert eval_dict["mpjpe"] < 1e-2      # mm
+    assert eval_dict["pa-mpjpe"] < 1e-2
+    assert eval_dict["pve"] < 1e-2
+    assert eval_dict["accel_err"] < 1e-2
