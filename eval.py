@@ -51,8 +51,9 @@ def main():
     sample = np.zeros((1, cfg.EVAL.SEQLEN, d.HEIGHT, d.WIDTH, 3), np.float32)
     variables = model.init(jax.random.PRNGKey(0), sample, smpl)
     params = variables["params"]
-    if args.checkpoint:
-        params = load_any_checkpoint_params(args.checkpoint, params)
+    ckpt_path = args.checkpoint or args.pretrained  # reference CLI used --pretrained
+    if ckpt_path:
+        params = load_any_checkpoint_params(ckpt_path, params)
 
     dataset = VideoDataset(
         args.eval_ds, args.eval_set, build_eval_transforms(d.WIDTH, d.HEIGHT),

@@ -188,9 +188,12 @@ class Trainer:
         is_best = performance < self.best_performance
         if is_best:
             self.best_performance = performance
+        from flax import serialization
+
         state_np = {
             "params": self.state.params,
-            "opt_state": self.state.opt_state,
+            # optax states are nested namedtuples; store as a plain state dict
+            "opt_state": serialization.to_state_dict(self.state.opt_state),
             "batch_stats": self.state.batch_stats,
             "step": self.state.step,
             "epoch": np.asarray(epoch),
@@ -201,13 +204,15 @@ class Trainer:
             f.write(str(self.best_performance))
 
     def resume(self, path: str):
+        from flax import serialization
+
         ckpt = load_checkpoint(path)
+        opt_state = self.state.opt_state
+        if "opt_state" in ckpt:
+            opt_state = serialization.from_state_dict(opt_state, ckpt["opt_state"])
         self.state = TrainState(
             params=ckpt["params"],
-            opt_state=jax.tree.map(
-                lambda ref, new: np.asarray(new),
-                self.state.opt_state, ckpt["opt_state"],
-            ) if "opt_state" in ckpt else self.state.opt_state,
+            opt_state=opt_state,
             batch_stats=ckpt.get("batch_stats", {}),
             step=np.asarray(ckpt.get("step", 0)),
             rng=self.state.rng,

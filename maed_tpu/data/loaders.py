@@ -226,7 +226,9 @@ def get_data_loaders(
     eval_name = cfg.TRAIN.DATASET_EVAL.lower().replace("threedpw", "3dpw")
     loaders["valid"] = ShardedLoader(
         VideoDataset(
-            eval_name, "val", eval_tf, seqlen=cfg.EVAL.SEQLEN,
+            # seqlen=0: the loader yields FULL sample_pool windows; the
+            # Evaluator slices them into EVAL.SEQLEN clips itself.
+            eval_name, "val", eval_tf, seqlen=0,
             sample_pool=cfg.EVAL.SAMPLE_POOL, overlap=0,
             random_sample=False, random_start=False,
             db=db_overrides.get(eval_name + "_val"), verbose=verbose,

@@ -7,5 +7,6 @@ from maed_tpu.ops.geometry import (
     rot6d_to_rotmat,
     weak_perspective_projection,
     perspective_projection,
+    estimate_translation,
 )
 from maed_tpu.ops.procrustes import batch_similarity_transform

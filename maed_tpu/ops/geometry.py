@@ -172,6 +172,56 @@ def perspective_projection(
     return xy
 
 
+def estimate_translation(
+    S: jnp.ndarray,
+    joints_2d: jnp.ndarray,
+    focal_length: float = 5000.0,
+    img_size: float = 224.0,
+    use_joints_slice: bool = True,
+) -> jnp.ndarray:
+    """Least-squares camera translation bringing 3D joints onto 2D keypoints.
+
+    Parity target: /root/reference/lib/utils/geometry.py:226-295, batched and
+    solved on device (normal equations instead of a per-sample numpy loop).
+
+    S: (B, K, 3) 3D joints; joints_2d: (B, K, 3) 2D keypoints with confidence.
+    With use_joints_slice, only the GT joints 25:49 are used (the reference's
+    convention for the 49-joint format). Returns (B, 3).
+    """
+    if use_joints_slice:
+        S = S[:, 25:, :]
+        joints_2d = joints_2d[:, 25:, :]
+    conf = joints_2d[..., 2]
+    xy = joints_2d[..., :2]
+
+    B, K = S.shape[:2]
+    f = focal_length
+    center = img_size / 2.0
+
+    # Rows: for each joint k two equations
+    #   f * tx + (cx - u_k) * tz = (u_k - cx) * Z_k - f * X_k
+    #   f * ty + (cy - v_k) * tz = (v_k - cy) * Z_k - f * Y_k
+    # weighted by sqrt(conf_k).
+    w = jnp.sqrt(jnp.maximum(conf, 0.0))[..., None]  # (B, K, 1)
+    O = center
+    Z = S[..., 2]
+
+    rows_x = jnp.stack(
+        [jnp.full((B, K), f), jnp.zeros((B, K)), O - xy[..., 0]], axis=-1
+    )
+    rows_y = jnp.stack(
+        [jnp.zeros((B, K)), jnp.full((B, K), f), O - xy[..., 1]], axis=-1
+    )
+    Q = jnp.concatenate([rows_x * w, rows_y * w], axis=1)  # (B, 2K, 3)
+    c_x = (xy[..., 0] - O) * Z - f * S[..., 0]
+    c_y = (xy[..., 1] - O) * Z - f * S[..., 1]
+    c = jnp.concatenate([c_x * w[..., 0], c_y * w[..., 0]], axis=1)  # (B, 2K)
+
+    A = jnp.einsum("bki,bkj->bij", Q, Q, precision=jax.lax.Precision.HIGHEST)
+    b = jnp.einsum("bki,bk->bi", Q, c, precision=jax.lax.Precision.HIGHEST)
+    return jnp.linalg.solve(A, b[..., None])[..., 0]
+
+
 def weak_perspective_projection(
     pred_joints: jnp.ndarray, pred_camera: jnp.ndarray, img_res: float = 224.0
 ) -> jnp.ndarray:

@@ -129,6 +129,60 @@ def test_weak_perspective_matches_torch_reference(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_estimate_translation_recovers_known_camera(rng):
+    """Project joints with a known translation, then recover it."""
+    from maed_tpu.ops import estimate_translation, perspective_projection
+    import jax.numpy as jnp
+
+    S = rng.randn(4, 24, 3).astype(np.float32) * 0.3
+    t_true = np.stack([
+        rng.uniform(-0.5, 0.5, 4), rng.uniform(-0.5, 0.5, 4), rng.uniform(4, 8, 4)
+    ], axis=1).astype(np.float32)
+    kp = np.asarray(perspective_projection(jnp.asarray(S), jnp.asarray(t_true))) + 112.0
+    joints_2d = np.concatenate([kp, np.ones((4, 24, 1), np.float32)], axis=2)
+    t_hat = np.asarray(estimate_translation(
+        jnp.asarray(S), jnp.asarray(joints_2d), use_joints_slice=False
+    ))
+    np.testing.assert_allclose(t_hat, t_true, atol=1e-2)
+
+
+def test_estimate_translation_matches_numpy_reference(rng):
+    """Parity with the reference's per-sample numpy least squares."""
+    from maed_tpu.ops import estimate_translation
+    import jax.numpy as jnp
+
+    def np_ref(S, joints_2d, joints_conf, focal_length=5000.0, img_size=224.0):
+        num_joints = S.shape[0]
+        f = np.array([focal_length, focal_length])
+        center = np.array([img_size / 2.0, img_size / 2.0])
+        Z = np.reshape(np.tile(S[:, 2], (2, 1)).T, -1)
+        XY = np.reshape(S[:, 0:2], -1)
+        O = np.tile(center, num_joints)
+        F = np.tile(f, num_joints)
+        weight2 = np.reshape(np.tile(np.sqrt(joints_conf), (2, 1)).T, -1)
+        Q = np.array([
+            F * np.tile(np.array([1, 0]), num_joints),
+            F * np.tile(np.array([0, 1]), num_joints),
+            O - np.reshape(joints_2d, -1),
+        ]).T
+        c = (np.reshape(joints_2d, -1) - O) * Z - F * XY
+        W = np.diagflat(weight2)
+        Q = W @ Q
+        c = W @ c
+        return np.linalg.solve(Q.T @ Q, Q.T @ c)
+
+    S49 = rng.randn(3, 49, 3).astype(np.float32) * 0.3
+    kp49 = np.concatenate([
+        rng.rand(3, 49, 2).astype(np.float32) * 224,
+        rng.rand(3, 49, 1).astype(np.float32),
+    ], axis=2)
+    got = np.asarray(estimate_translation(jnp.asarray(S49), jnp.asarray(kp49)))
+    want = np.stack([
+        np_ref(S49[i, 25:], kp49[i, 25:, :2], kp49[i, 25:, 2]) for i in range(3)
+    ])
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
 def test_procrustes_recovers_similarity(rng):
     """Applying a known similarity transform must be perfectly undone."""
     S2 = rng.randn(16, 14, 3).astype(np.float64)

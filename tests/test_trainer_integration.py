@@ -1,0 +1,104 @@
+"""End-to-end Trainer.fit(): synthetic DBs -> loaders -> jitted step ->
+validation -> checkpoint/best tracking -> resume."""
+
+import os.path as osp
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from maed_tpu.core.config import get_cfg_defaults
+from maed_tpu.core.loss import LossWeights
+from maed_tpu.core.trainer import Trainer
+from maed_tpu.data.loaders import get_data_loaders
+from maed_tpu.models import MAED
+from maed_tpu.parallel.train_step import (
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+from maed_tpu.utils.smpl_io import synthetic_smpl_model
+from fixtures import make_image_db, make_video_db
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    cfg = get_cfg_defaults()
+    cfg.DATASET.WIDTH = cfg.DATASET.HEIGHT = 32
+    cfg.DATASET.SEQLEN = 2
+    cfg.DATASET.SAMPLE_POOL = 4
+    cfg.DATASET.RANDOM_SAMPLE = True
+    cfg.DATASET.RANDOM_START = False
+    cfg.TRAIN.DATASETS_2D = ["syn2d"]
+    cfg.TRAIN.DATASETS_3D = ["syn3d"]
+    cfg.TRAIN.DATASETS_IMG = ["synimg"]
+    cfg.TRAIN.DATASET_EVAL = "syn3d"
+    cfg.TRAIN.BATCH_SIZE_2D = 1
+    cfg.TRAIN.BATCH_SIZE_3D = 1
+    cfg.TRAIN.BATCH_SIZE_IMG = 2
+    cfg.TRAIN.END_EPOCH = 2
+    cfg.TRAIN.NUM_ITERS_PER_EPOCH = 2
+    cfg.SAVE_FREQ = 2
+    cfg.EVAL.SEQLEN = 2
+    cfg.EVAL.SAMPLE_POOL = 4
+    cfg.EVAL.BATCH_SIZE = 2
+    return cfg
+
+
+def test_trainer_fit_and_resume(tiny_cfg, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("trainfit")
+    db_vid = make_video_db(tmp, n_videos=2, frames_per_video=12, img_size=48)
+    db_img = make_image_db(tmp, n_images=8, img_size=48)
+    db_val = make_video_db(tmp, n_videos=1, frames_per_video=8, img_size=48, seed=3)
+    overrides = {"syn2d": db_vid, "syn3d": db_vid, "synimg": db_img,
+                 "syn3d_val": db_val}
+
+    cfg = tiny_cfg
+    loaders = get_data_loaders(cfg, db_overrides=overrides, verbose=False)
+
+    model = MAED(encoder="ste", num_blocks=1, num_heads=2, st_mode="parallel",
+                 decoder="ktd", hidden_dim=32)
+    smpl = synthetic_smpl_model(num_verts=64)
+    tx = make_optimizer(cfg.TRAIN.OPTIM, steps_per_epoch=2)
+    sample = jnp.zeros((2, 2, 32, 32, 3), jnp.float32)
+    state = init_train_state(model, tx, sample, smpl, jax.random.PRNGKey(0))
+    step = make_train_step(model, tx, smpl, LossWeights(), donate=False)
+
+    def eval_apply_fn(state):
+        def apply(images, J_regressor=None):
+            return model.apply({"params": state.params}, images, smpl,
+                               J_regressor=J_regressor)
+        return apply
+
+    logdir = str(tmp / "run")
+    trainer = Trainer(
+        data_loaders=loaders, train_step=step, state=state, model=model,
+        smpl_model=smpl, cfg=cfg, logdir=logdir,
+        eval_apply_fn=eval_apply_fn, num_iters_per_epoch=2,
+    )
+    trainer.fit()
+
+    # checkpoint written at epoch 2 (SAVE_FREQ=2) + best + best.txt
+    assert osp.isdir(osp.join(logdir, "epoch_1"))
+    assert osp.isdir(osp.join(logdir, "model_best"))
+    assert osp.isfile(osp.join(logdir, "best.txt"))
+    assert np.isfinite(trainer.best_performance)
+    assert int(trainer.state.step) == 4  # 2 epochs x 2 iters
+
+    # resume: a fresh trainer picks up epoch + best performance
+    cfg2 = cfg.clone()
+    cfg2.TRAIN.RESUME = osp.join(logdir, "epoch_1")
+    state2 = init_train_state(model, tx, sample, smpl, jax.random.PRNGKey(1))
+    trainer2 = Trainer(
+        data_loaders=loaders, train_step=step, state=state2, model=model,
+        smpl_model=smpl, cfg=cfg2, logdir="", eval_apply_fn=eval_apply_fn,
+        num_iters_per_epoch=2,
+    )
+    assert trainer2.start_epoch == 2
+    assert trainer2.best_performance == pytest.approx(trainer.best_performance)
+    # resumed params equal saved params
+    diff = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        trainer2.state.params, trainer.state.params))
+    assert max(diff) == 0
