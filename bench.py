@@ -26,10 +26,12 @@ def main():
 
     dtype = jnp.bfloat16 if os.environ.get("MAED_BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
 
+    from maed_tpu.utils.checkpoint import fold_weight_standardization
+
     batch = int(os.environ.get("MAED_BENCH_BATCH", "8"))
     seqlen = 16
     model = MAED(encoder="ste", num_blocks=6, num_heads=12, st_mode="parallel",
-                 decoder="ktd", hidden_dim=1024, dtype=dtype)
+                 decoder="ktd", hidden_dim=1024, standardize_ws=False, dtype=dtype)
     smpl = find_smpl_model()
 
     rng = np.random.RandomState(0)
@@ -39,6 +41,7 @@ def main():
     print(f"[bench] device={jax.devices()[0]}, batch={batch}, dtype={dtype.__name__}",
           file=sys.stderr)
     variables = model.init(jax.random.PRNGKey(0), x[:1, :2], smpl)
+    variables = {"params": fold_weight_standardization(variables["params"])}
 
     fwd = jax.jit(lambda v, images: model.apply(v, images, smpl, J_regressor=J_reg))
 

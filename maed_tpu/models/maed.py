@@ -32,6 +32,9 @@ class MAED(nn.Module):
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
+    # inference-only: skip in-graph weight standardization (use
+    # utils.checkpoint.fold_weight_standardization on the params first)
+    standardize_ws: bool = True
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -45,6 +48,7 @@ class MAED(nn.Module):
                 drop_rate=self.drop_rate,
                 attn_drop_rate=self.attn_drop_rate,
                 drop_path_rate=self.drop_path_rate,
+                standardize=self.standardize_ws,
                 dtype=self.dtype,
                 name="encoder",
             )

@@ -33,13 +33,18 @@ def make_div(v: float, divisor: int = 8) -> int:
 class StdConv(nn.Module):
     """Conv with weight standardization (per-output-channel over HWI) and TF
     SAME padding. std uses the biased estimator and the reference's
-    (std + eps) denominator."""
+    (std + eps) denominator.
+
+    standardize=False skips the in-graph standardization for inference with
+    pre-standardized kernels (see fold_weight_standardization) — measured
+    ~20% of the hybrid stem's time on v5e."""
 
     features: int
     kernel_size: tuple
     strides: tuple = (1, 1)
     use_bias: bool = False
     eps: float = 1e-5
+    standardize: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -50,9 +55,10 @@ class StdConv(nn.Module):
             self.kernel_size + (x.shape[-1], self.features),
             jnp.float32,
         )
-        mean = kernel.mean(axis=(0, 1, 2), keepdims=True)
-        var = kernel.var(axis=(0, 1, 2), keepdims=True)
-        kernel = (kernel - mean) / (jnp.sqrt(var) + self.eps)
+        if self.standardize:
+            mean = kernel.mean(axis=(0, 1, 2), keepdims=True)
+            var = kernel.var(axis=(0, 1, 2), keepdims=True)
+            kernel = (kernel - mean) / (jnp.sqrt(var) + self.eps)
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
@@ -90,11 +96,13 @@ class DownsampleConv(nn.Module):
     features: int
     strides: tuple
     preact: bool
+    standardize: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        y = StdConv(self.features, (1, 1), self.strides, dtype=self.dtype, name="conv")(x)
+        y = StdConv(self.features, (1, 1), self.strides, standardize=self.standardize,
+                    dtype=self.dtype, name="conv")(x)
         if not self.preact:
             y = GroupNormAct(apply_act=False, dtype=self.dtype, name="norm")(y)
         return y
@@ -106,6 +114,7 @@ class Bottleneck(nn.Module):
     out_chs: int
     stride: int = 1
     bottle_ratio: float = 0.25
+    standardize: bool = True
     dtype: Any = jnp.float32
     has_downsample: bool = False
 
@@ -116,13 +125,13 @@ class Bottleneck(nn.Module):
         if self.has_downsample:
             shortcut = DownsampleConv(
                 self.out_chs, (self.stride, self.stride), preact=False,
-                dtype=self.dtype, name="downsample",
+                standardize=self.standardize, dtype=self.dtype, name="downsample",
             )(x)
-        y = StdConv(mid, (1, 1), dtype=self.dtype, name="conv1")(x)
+        y = StdConv(mid, (1, 1), standardize=self.standardize, dtype=self.dtype, name="conv1")(x)
         y = GroupNormAct(dtype=self.dtype, name="norm1")(y)
-        y = StdConv(mid, (3, 3), (self.stride, self.stride), dtype=self.dtype, name="conv2")(y)
+        y = StdConv(mid, (3, 3), (self.stride, self.stride), standardize=self.standardize, dtype=self.dtype, name="conv2")(y)
         y = GroupNormAct(dtype=self.dtype, name="norm2")(y)
-        y = StdConv(self.out_chs, (1, 1), dtype=self.dtype, name="conv3")(y)
+        y = StdConv(self.out_chs, (1, 1), standardize=self.standardize, dtype=self.dtype, name="conv3")(y)
         y = GroupNormAct(apply_act=False, dtype=self.dtype, name="norm3")(y)
         return nn.relu(y + shortcut)
 
@@ -131,6 +140,7 @@ class PreActBottleneck(nn.Module):
     out_chs: int
     stride: int = 1
     bottle_ratio: float = 0.25
+    standardize: bool = True
     dtype: Any = jnp.float32
     has_downsample: bool = False
 
@@ -142,13 +152,13 @@ class PreActBottleneck(nn.Module):
         if self.has_downsample:
             shortcut = DownsampleConv(
                 self.out_chs, (self.stride, self.stride), preact=True,
-                dtype=self.dtype, name="downsample",
+                standardize=self.standardize, dtype=self.dtype, name="downsample",
             )(x_preact)
-        y = StdConv(mid, (1, 1), dtype=self.dtype, name="conv1")(x_preact)
+        y = StdConv(mid, (1, 1), standardize=self.standardize, dtype=self.dtype, name="conv1")(x_preact)
         y = GroupNormAct(dtype=self.dtype, name="norm2")(y)
-        y = StdConv(mid, (3, 3), (self.stride, self.stride), dtype=self.dtype, name="conv2")(y)
+        y = StdConv(mid, (3, 3), (self.stride, self.stride), standardize=self.standardize, dtype=self.dtype, name="conv2")(y)
         y = GroupNormAct(dtype=self.dtype, name="norm3")(y)
-        y = StdConv(self.out_chs, (1, 1), dtype=self.dtype, name="conv3")(y)
+        y = StdConv(self.out_chs, (1, 1), standardize=self.standardize, dtype=self.dtype, name="conv3")(y)
         return y + shortcut
 
 
@@ -157,6 +167,7 @@ class ResNetStage(nn.Module):
     depth: int
     stride: int
     preact: bool = False
+    standardize: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -167,6 +178,7 @@ class ResNetStage(nn.Module):
                 out_chs=self.out_chs,
                 stride=self.stride if i == 0 else 1,
                 has_downsample=(i == 0),
+                standardize=self.standardize,
                 dtype=self.dtype,
                 name=f"block{i}",
             )(x)
@@ -185,12 +197,14 @@ class ResNetV2(nn.Module):
     stem_chs: int = 64
     width_factor: int = 1
     preact: bool = False
+    standardize: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         wf = self.width_factor
-        y = StdConv(make_div(self.stem_chs * wf), (7, 7), (2, 2), dtype=self.dtype, name="stem_conv")(x)
+        y = StdConv(make_div(self.stem_chs * wf), (7, 7), (2, 2),
+                    standardize=self.standardize, dtype=self.dtype, name="stem_conv")(x)
         if not self.preact:
             y = GroupNormAct(dtype=self.dtype, name="stem_norm")(y)
         y = max_pool_same(y, 3, 2)
@@ -201,6 +215,7 @@ class ResNetV2(nn.Module):
                 depth=d,
                 stride=1 if stage_idx == 0 else 2,
                 preact=self.preact,
+                standardize=self.standardize,
                 dtype=self.dtype,
                 name=f"stage{stage_idx}",
             )(y)

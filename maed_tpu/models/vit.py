@@ -32,6 +32,19 @@ ST_MODES = ("vanilla", "spatial", "temporal", "coupling", "parallel", "series")
 trunc_init = nn.initializers.truncated_normal(stddev=0.02)
 
 
+def _use_fused_attention() -> bool:
+    """Opt-in pallas attention (MAED_FUSED_ATTENTION=1).
+
+    Off by default: on v5e, XLA's own attention fusion beats the pallas
+    kernels at these sequence lengths (197 spatial / 3152 coupling) — see
+    ops/attention.py for measurements. The kernels remain available for
+    larger configurations and other TPU generations.
+    """
+    import os
+
+    return os.environ.get("MAED_FUSED_ATTENTION", "0") == "1"
+
+
 class DropPath(nn.Module):
     """Per-sample stochastic depth on a residual branch."""
 
@@ -115,7 +128,12 @@ class StAttention(nn.Module):
 
     def _spatial(self, q, k, v, deterministic):
         BT, h, N, d = q.shape
-        out = _attend(q, k, v, d ** -0.5, self.attn_drop, deterministic, self)
+        if _use_fused_attention() and (self.attn_drop == 0.0 or deterministic):
+            from maed_tpu.ops.attention import fused_attention
+
+            out = fused_attention(q, k, v, d ** -0.5)
+        else:
+            out = _attend(q, k, v, d ** -0.5, self.attn_drop, deterministic, self)
         return jnp.transpose(out, (0, 2, 1, 3)).reshape(BT, N, h * d)
 
     def _temporal(self, q, k, v, seqlen, deterministic):
@@ -139,7 +157,12 @@ class StAttention(nn.Module):
                 B, h, seqlen * N, d
             )
 
-        out = _attend(to_tn(q), to_tn(k), to_tn(v), d ** -0.5, self.attn_drop, deterministic, self)
+        if _use_fused_attention() and (self.attn_drop == 0.0 or deterministic):
+            from maed_tpu.ops.attention import fused_attention
+
+            out = fused_attention(to_tn(q), to_tn(k), to_tn(v), d ** -0.5)
+        else:
+            out = _attend(to_tn(q), to_tn(k), to_tn(v), d ** -0.5, self.attn_drop, deterministic, self)
         out = out.reshape(B, h, seqlen, N, d)
         out = jnp.transpose(out, (0, 2, 3, 1, 4)).reshape(BT, N, h * d)
         return out
@@ -208,11 +231,14 @@ class HybridEmbed(nn.Module):
     """ResNetV2 feature map -> patch tokens via a 1x1 projection."""
 
     embed_dim: int = 768
+    standardize: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        feat = ResNetV2(layers=(3, 4, 9), preact=False, dtype=self.dtype, name="backbone")(x)
+        feat = ResNetV2(layers=(3, 4, 9), preact=False,
+                        standardize=self.standardize, dtype=self.dtype,
+                        name="backbone")(x)
         tok = nn.Conv(self.embed_dim, (1, 1), dtype=self.dtype, name="proj")(feat)
         B, H, W, C = tok.shape
         return tok.reshape(B, H * W, C)
@@ -256,13 +282,15 @@ class VisionTransformer(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     max_seqlen: int = 16
+    standardize: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, seqlen: int = 1, deterministic: bool = True):
         BT = x.shape[0]
         if self.hybrid:
-            tokens = HybridEmbed(self.embed_dim, dtype=self.dtype, name="patch_embed")(x)
+            tokens = HybridEmbed(self.embed_dim, standardize=self.standardize,
+                                 dtype=self.dtype, name="patch_embed")(x)
         else:
             tokens = PatchEmbed(self.embed_dim, self.patch_size, dtype=self.dtype, name="patch_embed")(x)
 
