@@ -229,6 +229,29 @@ class Evaluator:
         self.log(eval_dict, num_pred)
         return eval_dict, num_pred
 
+    def count_attn(self, model, variables, images, smpl_model, seqlen):
+        """Collect the parallel-mode spatial/temporal gate weights per block.
+
+        Parity target: the reference's dormant attention accounting
+        (/root/reference/lib/core/evaluate.py:194-202). Returns
+        {block_name: (NT, C) mean gate toward the spatial branch}.
+        """
+        _, inter = model.apply(
+            variables, images, smpl_model, mutable=["intermediates"]
+        )
+        gates = {}
+
+        def walk(tree, path=""):
+            for k, v in tree.items():
+                if k == "ts_gate":
+                    alpha = np.asarray(v[0])  # (NT, 1, C, 2)
+                    gates[path.rstrip("/")] = alpha[:, 0, :, 0]
+                elif isinstance(v, dict):
+                    walk(v, path + k + "/")
+
+        walk(inter["intermediates"])
+        return gates
+
     def save_result(self, save_path):
         import joblib
 

@@ -180,6 +180,40 @@ def image_loss(
     return total, loss_dict
 
 
+def encoder_disc_l2_loss(disc_value):
+    """Generator-side LSGAN loss (kept for the adversarial-training variant;
+    unused by the released recipe, like the reference's dead code at
+    /root/reference/lib/core/loss.py:355-362)."""
+    return jnp.sum((disc_value - 1.0) ** 2) / disc_value.shape[0]
+
+
+def adv_disc_l2_loss(real_disc_value, fake_disc_value):
+    la = jnp.sum((real_disc_value - 1.0) ** 2) / real_disc_value.shape[0]
+    lb = jnp.sum(fake_disc_value ** 2) / fake_disc_value.shape[0]
+    return la, lb, la + lb
+
+
+def encoder_disc_wasserstein_loss(disc_value):
+    return -jnp.sum(disc_value) / disc_value.shape[0]
+
+
+def adv_disc_wasserstein_loss(real_disc_value, fake_disc_value):
+    la = -jnp.sum(real_disc_value) / real_disc_value.shape[0]
+    lb = jnp.sum(fake_disc_value) / fake_disc_value.shape[0]
+    return la, lb, la + lb
+
+
+def smooth_pose_loss(pred_theta):
+    """Mean first-difference of the pose track (reference loss.py:398-401)."""
+    pose = pred_theta[:, :, 3:75]
+    return jnp.abs(jnp.mean(pose[:, 1:] - pose[:, :-1]))
+
+
+def smooth_shape_loss(pred_theta):
+    shape = pred_theta[:, :, 75:]
+    return jnp.abs(jnp.mean(shape[:, 1:] - shape[:, :-1]))
+
+
 def merge_loss(loss_vid, loss_vid_dict, loss_img, loss_img_dict, vid_w=1.0, img_w=1.0):
     """Weighted merge of the video and image loss terms (per-sample-count
     weighting computed by the trainer)."""

@@ -120,12 +120,15 @@ class Trainer:
     def train_epoch(self):
         meters = {}
         timer = StepTimer()
+        from maed_tpu.utils.profiling import maybe_trace
+
         for i in range(self.num_iters):
             timer.start()
             vid_batch, img_batch = self._device_batches(i)
             timer.mark("data")
 
-            self.state, metrics = self.train_step(self.state, vid_batch, img_batch)
+            with maybe_trace(self.train_global_step):
+                self.state, metrics = self.train_step(self.state, vid_batch, img_batch)
             timer.mark("step", block_on=metrics["loss"])
 
             loss = float(metrics["loss"])

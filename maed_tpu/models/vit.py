@@ -193,6 +193,10 @@ class StAttention(nn.Module):
             alpha = jnp.concatenate([y_s, y_t], axis=-1).mean(axis=1, keepdims=True)
             alpha = self.ts_attn(alpha).reshape(BT, 1, C, 2)
             alpha = jax.nn.softmax(alpha, axis=-1)
+            # attention-weight accounting (the reference's count_attn hooks,
+            # vision_transformer.py:230-240): collect via
+            # apply(..., mutable=['intermediates'])
+            self.sow("intermediates", "ts_gate", alpha)
             y = y_t * alpha[..., 1] + y_s * alpha[..., 0]
         else:
             raise NotImplementedError(self.st_mode)
