@@ -71,6 +71,7 @@ def main():
     evaluator.run(
         apply_fn, loader, seqlen=cfg.EVAL.SEQLEN, interp=cfg.EVAL.INTERPOLATION,
         dataset_name=args.eval_ds, save_path=args.output_path,
+        batch_size=cfg.EVAL.BATCH_SIZE,  # pad ragged last batch: one executable
     )
 
 

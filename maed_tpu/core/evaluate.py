@@ -216,17 +216,42 @@ class Evaluator:
             self.save_result(save_path)
         return eval_dict, num_pred
 
+    def sync_metrics(self, eval_dict, num_pred):
+        """Count-weighted metric average across hosts.
+
+        Parity target: the reference's all_reduce metric sync
+        (/root/reference/lib/core/trainer.py:259-279,304-309): each host
+        evaluates its loader shard; the global metric is the prediction-count
+        weighted mean. No-op single-process.
+        """
+        import jax
+
+        if jax.process_count() == 1:
+            return eval_dict, num_pred
+        from jax.experimental import multihost_utils
+
+        keys = sorted(eval_dict)
+        local = np.array([eval_dict[k] * num_pred for k in keys] + [num_pred],
+                         np.float64)
+        total = np.asarray(
+            multihost_utils.process_allgather(jnp.asarray(local))
+        ).sum(axis=0)
+        n = max(total[-1], 1.0)
+        return {k: float(total[i] / n) for i, k in enumerate(keys)}, int(total[-1])
+
     def log(self, eval_dict, num_pred, desc=""):
         print(f"Evaluated on {int(num_pred)} poses.")
         print(desc + " ".join(f"{k.upper()}: {v:.4f}," for k, v in eval_dict.items()))
 
     def run(self, apply_fn, dataloader, seqlen=16, interp=1, dataset_name="3dpw",
-            J_regressor=None, save_path="", verbose=True):
+            J_regressor=None, save_path="", verbose=True, batch_size=None):
         self.inference(apply_fn, dataloader, seqlen=seqlen, interp=interp,
                        dataset_name=dataset_name, J_regressor=J_regressor,
-                       verbose=verbose)
+                       batch_size=batch_size, verbose=verbose)
         eval_dict, num_pred = self.evaluate(save_path)
-        self.log(eval_dict, num_pred)
+        eval_dict, num_pred = self.sync_metrics(eval_dict, num_pred)
+        if verbose:
+            self.log(eval_dict, num_pred)
         return eval_dict, num_pred
 
     def count_attn(self, model, variables, images, smpl_model, seqlen):

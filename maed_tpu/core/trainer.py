@@ -159,6 +159,7 @@ class Trainer:
             apply_fn, self.valid_loader,
             seqlen=self.cfg.EVAL.SEQLEN, interp=self.cfg.EVAL.INTERPOLATION,
             dataset_name=self.cfg.TRAIN.DATASET_EVAL.lower().replace("threedpw", "3dpw"),
+            batch_size=self.cfg.EVAL.BATCH_SIZE,
             verbose=self.rank == 0,
         )
         if self.writer is not None and self.rank == 0:
