@@ -333,3 +333,65 @@ class VisionTransformer(nn.Module):
             feat = nn.Dense(self.representation_size, dtype=self.dtype, name="pre_logits")(feat)
             feat = jnp.tanh(feat)
         return feat
+
+
+# ---------------------------------------------------------------------------
+# factory catalog (parity with the reference's stock ViT variants,
+# /root/reference/lib/models/vision_transformer.py:426-576)
+# ---------------------------------------------------------------------------
+
+def vit_small_patch16_224(**kw):
+    return VisionTransformer(embed_dim=768, depth=8, num_heads=8, mlp_ratio=3.0,
+                             qkv_bias=False, hybrid=False, patch_size=16,
+                             representation_size=None, **kw)
+
+
+def vit_base_patch16_224(**kw):
+    return VisionTransformer(embed_dim=768, depth=12, num_heads=12, hybrid=False,
+                             patch_size=16, representation_size=None, **kw)
+
+
+def vit_base_patch16_384(**kw):
+    return vit_base_patch16_224(**kw)  # input size is runtime in this design
+
+
+def vit_base_patch32_384(**kw):
+    return VisionTransformer(embed_dim=768, depth=12, num_heads=12, hybrid=False,
+                             patch_size=32, representation_size=None, **kw)
+
+
+def vit_large_patch16_224(**kw):
+    return VisionTransformer(embed_dim=1024, depth=24, num_heads=16, hybrid=False,
+                             patch_size=16, representation_size=None, **kw)
+
+
+def vit_large_patch16_384(**kw):
+    return vit_large_patch16_224(**kw)
+
+
+def vit_large_patch32_384(**kw):
+    return VisionTransformer(embed_dim=1024, depth=24, num_heads=16, hybrid=False,
+                             patch_size=32, representation_size=None, **kw)
+
+
+def vit_huge_patch16_224(**kw):
+    return VisionTransformer(embed_dim=1280, depth=32, num_heads=16, hybrid=False,
+                             patch_size=16, representation_size=None, **kw)
+
+
+def vit_huge_patch32_384(**kw):
+    return VisionTransformer(embed_dim=1280, depth=32, num_heads=16, hybrid=False,
+                             patch_size=32, representation_size=None, **kw)
+
+
+def vit_base_resnet50_224_in21k(**kw):
+    """R50+ViT-B/16 hybrid (the in21k-pretrained stem+12-block variant)."""
+    return VisionTransformer(embed_dim=768, depth=12, num_heads=12, hybrid=True,
+                             representation_size=768, **kw)
+
+
+def vit_custom_resnet50_224_in21k(num_blocks, num_heads, st_mode, **kw):
+    """The MAED STE factory: hybrid stem + custom depth/heads/st_mode."""
+    return VisionTransformer(embed_dim=768, depth=num_blocks, num_heads=num_heads,
+                             st_mode=st_mode, hybrid=True,
+                             representation_size=768, **kw)

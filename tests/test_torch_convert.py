@@ -86,6 +86,36 @@ def test_roundtrip_ste_ktd():
         np.testing.assert_array_equal(got_flat[p], flat[p]), p
 
 
+def test_torch_load_path(tmp_path):
+    """convert_torch_checkpoint reads a real torch-saved .pth.tar (the
+    reference's checkpoint container: {'state_dict': ..., 'performance': ...})."""
+    import torch
+
+    from maed_tpu.utils.torch_convert import convert_torch_checkpoint
+
+    model = MAED(encoder="ste", num_blocks=1, num_heads=2, st_mode="parallel",
+                 decoder="ktd", hidden_dim=16)
+    smpl = synthetic_smpl_model(num_verts=64)
+    x = np.zeros((1, 2, 32, 32, 3), np.float32)
+    params = model.init(jax.random.PRNGKey(1), x, smpl)["params"]
+
+    flat = flatten(params)
+    state_dict = {
+        "module." + flax_path_to_torch_key(p): torch.from_numpy(
+            np.ascontiguousarray(torch_value_from_flax(p, v))
+        )
+        for p, v in flat.items()
+    }
+    path = str(tmp_path / "model_best.pth.tar")
+    torch.save({"state_dict": state_dict, "performance": 45.7, "epoch": 3}, path)
+
+    got = convert_torch_checkpoint(path)
+    got_flat = flatten(got)
+    assert set(got_flat) == set(flat)
+    for p in flat:
+        np.testing.assert_array_equal(got_flat[p], flat[p])
+
+
 def test_roundtrip_cnn_iterative():
     model = MAED(encoder="cnn", decoder="iterative", hidden_dim=16)
     smpl = synthetic_smpl_model(num_verts=64)
