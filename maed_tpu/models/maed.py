@@ -35,6 +35,8 @@ class MAED(nn.Module):
     # inference-only: skip in-graph weight standardization (use
     # utils.checkpoint.fold_weight_standardization on the params first)
     standardize_ws: bool = True
+    # remat transformer blocks for O(depth) less training activation memory
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -49,6 +51,7 @@ class MAED(nn.Module):
                 attn_drop_rate=self.attn_drop_rate,
                 drop_path_rate=self.drop_path_rate,
                 standardize=self.standardize_ws,
+                remat=self.remat,
                 dtype=self.dtype,
                 name="encoder",
             )

@@ -1,0 +1,86 @@
+"""Pallas fused LBS skinning kernel.
+
+XLA's formulation of linear blend skinning materializes the per-vertex
+transform tensor T = W @ A as a (B, V, 4, 4) HBM intermediate (56 MB per 128
+frames at V=6890) and reads it back for the vertex application. This kernel
+keeps T in VMEM: each grid instance loads a vertex block of the skinning
+weights + rest vertices and one frame's joint transforms, computes
+T_blk = W_blk @ A (one MXU matmul) and applies it in-register.
+
+Opt-in (MAED_PALLAS_LBS=1) like the attention kernels; the XLA path remains
+the default. Validated in interpret mode on CPU and natively on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+
+    _HAS_PALLAS = True
+except ImportError:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+def _skin_kernel(w_ref, vh_ref, a_ref, o_ref, *, B):
+    w = w_ref[:]            # (Vb, 24)
+    a = a_ref[:]            # (24, 12*B): column ((p*4+q)*B + b) — lane dim = b
+    # ONE MXU matmul produces the vertex-block transforms for every frame.
+    t = jnp.dot(w, a, preferred_element_type=jnp.float32)  # (Vb, 12*B)
+    vh = vh_ref[:]          # (Vb, 4, B)
+    for p in range(3):
+        acc = None
+        for q in range(4):
+            col = (p * 4 + q) * B
+            term = t[:, col:col + B] * vh[:, q, :]
+            acc = term if acc is None else acc + term
+        o_ref[:, p, :] = acc.astype(o_ref.dtype)
+
+
+def skinning(v_posed: jnp.ndarray, lbs_weights: jnp.ndarray,
+             A: jnp.ndarray, block_v: int = 1024) -> jnp.ndarray:
+    """verts[b, v] = (sum_j W[v, j] * A[b, j, :3, :]) @ [v_posed[b, v], 1].
+
+    v_posed: (B, V, 3); lbs_weights: (V, 24); A: (B, 24, 4, 4).
+
+    Grid is over vertex blocks only; each instance computes the transforms of
+    its vertices for ALL frames with one (Vb, 24) x (24, B*12) MXU matmul —
+    T never touches HBM.
+    """
+    B, V, _ = v_posed.shape
+    J = lbs_weights.shape[1]
+
+    V_pad = -(-V // block_v) * block_v
+    vh = jnp.concatenate([v_posed, jnp.ones_like(v_posed[..., :1])], axis=-1)
+    vh = jnp.transpose(vh, (1, 2, 0))  # (V, 4, B)
+    if V_pad != V:
+        vh = jnp.pad(vh, ((0, V_pad - V), (0, 0), (0, 0)))
+        w = jnp.pad(lbs_weights, ((0, V_pad - V), (0, 0)))
+    else:
+        w = lbs_weights
+    # (B, 24, 3, 4) -> (24, (p, q), B) -> (24, 12*B): lane dim is the batch
+    a_flat = jnp.transpose(A[:, :, :3, :], (1, 2, 3, 0)).reshape(J, 12 * B)
+
+    out = pl.pallas_call(
+        functools.partial(_skin_kernel, B=B),
+        out_shape=jax.ShapeDtypeStruct((V_pad, 3, B), v_posed.dtype),
+        grid=(V_pad // block_v,),
+        in_specs=[
+            pl.BlockSpec((block_v, J), lambda vb: (vb, 0)),
+            pl.BlockSpec((block_v, 4, B), lambda vb: (vb, 0, 0)),
+            pl.BlockSpec((J, 12 * B), lambda vb: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_v, 3, B), lambda vb: (vb, 0, 0)),
+        interpret=jax.default_backend() != "tpu",
+    )(w, vh, a_flat)
+    return jnp.transpose(out[:V], (2, 0, 1))
+
+
+def pallas_lbs_enabled() -> bool:
+    import os
+
+    return _HAS_PALLAS and os.environ.get("MAED_PALLAS_LBS", "0") == "1"

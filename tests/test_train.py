@@ -177,6 +177,55 @@ def test_checkpoint_roundtrip_and_policies(tmp_path, rng):
     assert max(dec_diff2) == 0
 
 
+def test_train_step_cnn_batch_stats(rng):
+    """Stage-1 path: ResNet50 encoder with BatchNorm running stats updated
+    through the jitted step (the reference's SyncBatchNorm-adjacent path)."""
+    model = MAED(encoder="cnn", decoder="iterative", hidden_dim=32)
+    smpl = synthetic_smpl_model(num_verts=64)
+    tx = make_optimizer(_Optim, steps_per_epoch=10)
+    sample = jnp.zeros((2, 1, 32, 32, 3), jnp.float32)
+    state = init_train_state(model, tx, sample, smpl, jax.random.PRNGKey(0))
+    assert state.batch_stats, "cnn encoder must carry batch_stats"
+    step = make_train_step(model, tx, smpl, LossWeights(), has_batch_stats=True,
+                           donate=False)
+    img = _img_batch(rng, n=2)
+    new_state, metrics = step(state, None, img)
+    assert np.isfinite(float(metrics["loss"]))
+    # running stats actually moved
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.batch_stats,
+        new_state.batch_stats))
+    assert max(diffs) > 0
+
+
+def test_remat_matches_no_remat(rng):
+    """remat changes memory, not math: gradients must be identical."""
+    smpl = synthetic_smpl_model(num_verts=64)
+    x = jnp.asarray(rng.randn(1, 2, 32, 32, 3).astype(np.float32))
+
+    def grads_for(remat):
+        model = MAED(encoder="ste", num_blocks=1, num_heads=2,
+                     st_mode="parallel", decoder="ktd", hidden_dim=32,
+                     remat=remat)
+        v = model.init(jax.random.PRNGKey(0), x, smpl)
+
+        def loss(params):
+            out = model.apply({"params": params}, x, smpl)
+            return jnp.sum(out["kp_3d"] ** 2)
+
+        # highest precision: the env's bf16-default matmuls round differently
+        # across the (different) remat fusion, masking the equality
+        with jax.default_matmul_precision("highest"):
+            return jax.grad(loss)(v["params"])
+
+    g0 = grads_for(False)
+    g1 = grads_for(True)
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-6)),
+        g0, g1))
+    assert max(diffs) < 1e-3, max(diffs)
+
+
 def test_dp_sharded_train_step(rng):
     """The full train step over an 8-device ('dp','tp') mesh."""
     assert len(jax.devices()) == 8
