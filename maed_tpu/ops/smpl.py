@@ -113,10 +113,10 @@ def lbs(model: SMPLModel, betas: jnp.ndarray, rot_mats: jnp.ndarray):
     posed_joints, A = batch_rigid_transform(rot_mats, J, model.parents)
 
     # Skinning: T = sum_j w_vj A_j, applied to homogeneous rest vertices.
-    from maed_tpu.ops.smpl_pallas import pallas_lbs_enabled, skinning
+    from maed_tpu.ops.smpl_pallas import pallas_lbs_enabled, skinning_vjp
 
     if pallas_lbs_enabled():
-        verts = skinning(v_posed, model.lbs_weights, A)
+        verts = skinning_vjp(v_posed, model.lbs_weights, A)
     else:
         T = _einsum("vj,bjpq->bvpq", model.lbs_weights, A)
         v_h = jnp.concatenate([v_posed, jnp.ones_like(v_posed[..., :1])], axis=-1)

@@ -84,3 +84,36 @@ def pallas_lbs_enabled() -> bool:
     import os
 
     return _HAS_PALLAS and os.environ.get("MAED_PALLAS_LBS", "0") == "1"
+
+
+# ---------------------------------------------------------------------------
+# custom VJP: fast pallas forward, einsum backward (train-safe)
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def skinning_vjp(v_posed, lbs_weights, A):
+    return skinning(v_posed, lbs_weights, A)
+
+
+def _skinning_fwd(v_posed, lbs_weights, A):
+    return skinning(v_posed, lbs_weights, A), (v_posed, lbs_weights, A)
+
+
+def _skinning_bwd(res, g):
+    v_posed, W, A = res
+    hi = jax.lax.Precision.HIGHEST
+    vh = jnp.concatenate([v_posed, jnp.ones_like(v_posed[..., :1])], axis=-1)
+    A3 = A[:, :, :3, :]                       # (B, J, 3, 4)
+    # d v_posed: rotation part of T transposed applied to g
+    T3 = jnp.einsum("vj,bjpq->bvpq", W, A3, precision=hi)   # (B, V, 3, 4)
+    d_v = jnp.einsum("bvp,bvpq->bvq", g, T3[..., :3], precision=hi)
+    # d W[v, j] = sum_{b,p} g[b,v,p] * (A[b,j,p,:] . vh[b,v,:])
+    Av = jnp.einsum("bjpq,bvq->bjvp", A3, vh, precision=hi)  # (B, J, V, 3)
+    d_W = jnp.einsum("bvp,bjvp->vj", g, Av, precision=hi)
+    # d A[b,j,p,q] = sum_v W[v,j] g[b,v,p] vh[b,v,q]
+    d_A3 = jnp.einsum("vj,bvp,bvq->bjpq", W, g, vh, precision=hi)
+    d_A = jnp.zeros_like(A).at[:, :, :3, :].set(d_A3)
+    return d_v, d_W, d_A
+
+
+skinning_vjp.defvjp(_skinning_fwd, _skinning_bwd)

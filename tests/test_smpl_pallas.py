@@ -31,6 +31,31 @@ def test_skinning_matches_xla(rng):
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_skinning_vjp_matches_xla_grad(rng):
+    """The custom VJP's gradients equal autodiff through the XLA einsums."""
+    from maed_tpu.ops.smpl_pallas import skinning_vjp
+
+    B, V, J = 2, 96, 24
+    v_posed = jnp.asarray(rng.randn(B, V, 3).astype(np.float32))
+    W = rng.rand(V, J).astype(np.float32)
+    W /= W.sum(axis=1, keepdims=True)
+    A = rng.randn(B, J, 4, 4).astype(np.float32) * 0.3
+    A[:, :, 3] = [0, 0, 0, 1]
+    W, A = jnp.asarray(W), jnp.asarray(A)
+
+    def loss_pl(v, w, a):
+        return jnp.sum(skinning_vjp(v, w, a) ** 2)
+
+    def loss_xla(v, w, a):
+        return jnp.sum(xla_skinning(v, w, a) ** 2)
+
+    with jax.default_matmul_precision("highest"):
+        g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(v_posed, W, A)
+        g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(v_posed, W, A)
+    for a, b in zip(g_pl, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
 def test_skinning_vertex_padding(rng):
     """V not a multiple of the block size pads internally and slices back."""
     B, V = 2, 1111
