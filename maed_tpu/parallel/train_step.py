@@ -155,3 +155,20 @@ def make_train_step(model, tx, smpl_model, loss_weights: LossWeights,
     if donate:
         return jax.jit(train_step, donate_argnums=(0,), static_argnums=())
     return jax.jit(train_step)
+
+
+def debug_nan_params(grads) -> list:
+    """Names of gradient leaves containing NaN/Inf (the debug companion to
+    the trainer's NaN hard-exit; reference used a pdb hook instead,
+    /root/reference/lib/core/trainer.py:228-229)."""
+    import numpy as np
+
+    bad = []
+
+    def visit(path, leaf):
+        a = np.asarray(leaf)
+        if not np.isfinite(a).all():
+            bad.append("/".join(str(getattr(k, "key", k)) for k in path))
+
+    jax.tree_util.tree_map_with_path(visit, grads)
+    return bad

@@ -1,0 +1,68 @@
+"""Config system tests: reference yaml compatibility, merging, CLI parsing."""
+
+import pytest
+import yaml
+
+from maed_tpu.core.config import CfgNode, get_cfg_defaults, parse_args, update_cfg
+
+
+def test_reference_yamls_load_verbatim():
+    for f in ("/root/reference/configs/config_stage1.yaml",
+              "/root/reference/configs/config_stage2.yaml"):
+        cfg = update_cfg(f)
+        assert cfg.DATASET.SEQLEN == 16
+        assert cfg.LOSS.KP_2D_W == 300.0
+    cfg2 = update_cfg("/root/reference/configs/config_stage2.yaml")
+    assert cfg2.MODEL.ENCODER.SPA_TEMP_MODE == "parallel"
+    assert cfg2.TRAIN.OPTIM.MILESTONES == [60, 90]
+
+
+def test_defaults_clone_isolated():
+    a = get_cfg_defaults()
+    b = get_cfg_defaults()
+    a.TRAIN.BATCH_SIZE_3D = 99
+    assert b.TRAIN.BATCH_SIZE_3D != 99
+    c = a.clone()
+    a.TRAIN.OPTIM.LR = 123.0
+    assert c.TRAIN.OPTIM.LR != 123.0
+
+
+def test_unknown_key_rejected():
+    cfg = get_cfg_defaults()
+    with pytest.raises(KeyError):
+        cfg.merge_from_dict({"NOT_A_KEY": 1})
+    with pytest.raises(KeyError):
+        cfg.merge_from_dict({"TRAIN": {"NOT_A_KEY": 1}})
+
+
+def test_merge_from_list():
+    cfg = get_cfg_defaults()
+    cfg.merge_from_list(["TRAIN.BATCH_SIZE_3D", "7", "DATASET.SEQLEN", "32"])
+    assert cfg.TRAIN.BATCH_SIZE_3D == 7
+    assert cfg.DATASET.SEQLEN == 32
+
+
+def test_dump_roundtrip():
+    cfg = get_cfg_defaults()
+    data = yaml.safe_load(cfg.dump())
+    assert data["MODEL"]["ENCODER"]["BACKBONE"] == "ste"
+    fresh = get_cfg_defaults()
+    fresh.merge_from_dict(data)  # a dump must merge back cleanly
+    assert fresh.EVAL.SAMPLE_POOL == cfg.EVAL.SAMPLE_POOL
+
+
+def test_parse_args_defaults():
+    args, cfg, _ = parse_args([])
+    assert args.eval_ds == "3dpw"
+    assert args.eval_set == "test"
+    assert cfg.DATASET.WIDTH == 224
+
+
+def test_nan_param_reporter():
+    import numpy as np
+
+    from maed_tpu.parallel.train_step import debug_nan_params
+
+    grads = {"a": {"kernel": np.ones(3)}, "b": {"bias": np.array([1.0, np.nan])}}
+    bad = debug_nan_params(grads)
+    assert bad == ["b/bias"]
