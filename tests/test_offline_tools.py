@@ -1,0 +1,83 @@
+"""Offline-tooling tests: bbox smoothing, crop-cam conversion, the software
+rasterizer, and debug visualization grids."""
+
+import numpy as np
+
+from maed_tpu.utils.demo_utils import convert_crop_cam_to_orig_img
+from maed_tpu.utils.renderer import Renderer, rasterize_mesh, weak_perspective_to_screen
+from maed_tpu.utils.smooth_bbox import (
+    get_all_bbox_params,
+    get_single_bbox,
+    smooth_bbox_params,
+)
+from maed_tpu.utils.vis import batch_grid, denormalize_image, draw_skeleton
+
+
+def test_single_bbox_center_and_size():
+    kp = np.array([[10.0, 20, 1], [30, 60, 1], [20, 40, 0.1]])  # last invisible
+    b = get_single_bbox(kp, vis_thresh=0.3)
+    np.testing.assert_allclose(b, [20, 40, 40])
+
+
+def test_single_bbox_too_few_visible():
+    kp = np.array([[10.0, 20, 0.1], [30, 60, 0.2]])
+    assert get_single_bbox(kp) is None
+
+
+def test_bbox_track_interpolates_gaps():
+    T, K = 6, 5
+    kps = np.zeros((T, K, 3))
+    # detected at t=0 (center 10) and t=4 (center 50); gaps interpolate
+    for t, c in [(0, 10.0), (4, 50.0)]:
+        kps[t, :, 0] = [c - 5, c + 5, c, c, c]
+        kps[t, :, 1] = [c - 5, c + 5, c, c, c]
+        kps[t, :, 2] = 1.0
+    params, start, end = get_all_bbox_params(kps)
+    assert (start, end) == (0, 5)
+    np.testing.assert_allclose(params[2, 0], 30.0)  # halfway center
+    sm = smooth_bbox_params(params)
+    assert sm.shape == params.shape
+
+
+def test_convert_crop_cam_formula():
+    cam = np.array([[1.0, 0.1, -0.2]])
+    bbox = np.array([[100.0, 120.0, 50.0, 50.0]])
+    out = convert_crop_cam_to_orig_img(cam, bbox, 200, 240)
+    sx = 1.0 * 50 / 200
+    sy = 1.0 * 50 / 240
+    np.testing.assert_allclose(out[0, 0], sx)
+    np.testing.assert_allclose(out[0, 1], sy)
+    np.testing.assert_allclose(out[0, 2], (100 - 100) / 100 / sx + 0.1)
+    np.testing.assert_allclose(out[0, 3], (120 - 120) / 120 / sy + (-0.2))
+
+
+def test_rasterizer_draws_triangle_inside_bbox():
+    verts = np.array([[-0.5, -0.5, 1.0], [0.5, -0.5, 1.0], [0.0, 0.5, 1.0]])
+    screen = weak_perspective_to_screen(verts, np.array([1.0, 1.0, 0, 0]), 64, 64)
+    mask, zbuf = rasterize_mesh(screen, np.array([[0, 1, 2]]), 64, 64)
+    assert mask.any()
+    ys, xs = np.where(mask)
+    assert xs.min() >= 15 and xs.max() <= 49  # triangle spans ~[16, 48]
+    assert ys.min() >= 15 and ys.max() <= 49
+
+
+def test_renderer_composites(rng):
+    img = rng.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+    verts = rng.randn(50, 3) * 0.3
+    faces = rng.randint(0, 50, (60, 3))
+    out = Renderer(resolution=(64, 64)).render(
+        img, verts, faces, np.array([1.0, 1.0, 0.0, 0.0])
+    )
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert (out != img).any()
+
+
+def test_vis_grid_and_skeleton(rng):
+    imgs = rng.randn(5, 32, 32, 3).astype(np.float32) * 0.5
+    kp = rng.rand(5, 49, 3).astype(np.float32) * 2 - 1
+    kp[..., 2] = 1.0
+    grid = batch_grid(imgs, kp)
+    assert grid.dtype == np.uint8
+    assert grid.shape[0] % 32 == 0 and grid.shape[1] % 32 == 0
+    one = draw_skeleton(denormalize_image(imgs[0]), kp[0])
+    assert one.shape == (32, 32, 3)
