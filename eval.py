@@ -20,20 +20,33 @@ from maed_tpu.data.dataset import VideoDataset
 from maed_tpu.data.loaders import ShardedLoader
 from maed_tpu.data.transforms import build_eval_transforms
 from maed_tpu.models import MAED
-from maed_tpu.utils.checkpoint import load_checkpoint, load_eval_params
+from maed_tpu.utils.checkpoint import (
+    fold_weight_standardization,
+    load_checkpoint,
+    load_eval_params,
+)
 from maed_tpu.utils.smpl_io import find_smpl_model
 
 
-def load_any_checkpoint_params(path: str, params):
-    """orbax dir or torch .pth(.tar) -> our param tree."""
+def load_any_checkpoint_params(path: str, params, batch_stats=None):
+    """orbax dir or torch .pth(.tar) -> (param tree, batch_stats tree)."""
     if path.endswith((".pth", ".pth.tar", ".pt", ".tar")):
         from maed_tpu.utils.torch_convert import convert_torch_checkpoint
 
-        ckpt_params = convert_torch_checkpoint(path, params)
-        return load_eval_params(params, ckpt_params)
+        conv = convert_torch_checkpoint(path, params)
+        params = load_eval_params(params, conv["params"])
+        if conv["batch_stats"]:
+            batch_stats = (
+                load_eval_params(batch_stats, conv["batch_stats"])
+                if batch_stats else conv["batch_stats"]
+            )
+        return params, batch_stats
     ckpt = load_checkpoint(path)
     src = ckpt["params"] if "params" in ckpt else ckpt
-    return load_eval_params(params, src)
+    params = load_eval_params(params, src)
+    if isinstance(ckpt, dict) and ckpt.get("batch_stats"):
+        batch_stats = ckpt["batch_stats"]
+    return params, batch_stats
 
 
 def main():
@@ -41,9 +54,14 @@ def main():
 
     enc = cfg.MODEL.ENCODER
     dec = cfg.MODEL.DECODER
+    is_ste = enc.BACKBONE.lower() == "ste"
+    # StdConv weight standardization is folded into the loaded kernels below,
+    # so the shipped eval runs the standardize_ws=False fast path (same config
+    # bench.py measures; identical outputs, ~20% faster hybrid stem).
     model = MAED(
         encoder=enc.BACKBONE, num_blocks=enc.NUM_BLOCKS, num_heads=enc.NUM_HEADS,
         st_mode=enc.SPA_TEMP_MODE, decoder=dec.BACKBONE, hidden_dim=dec.HIDDEN_DIM,
+        standardize_ws=not is_ste,
     )
     smpl = find_smpl_model()
 
@@ -51,9 +69,12 @@ def main():
     sample = np.zeros((1, cfg.EVAL.SEQLEN, d.HEIGHT, d.WIDTH, 3), np.float32)
     variables = model.init(jax.random.PRNGKey(0), sample, smpl)
     params = variables["params"]
+    batch_stats = variables.get("batch_stats") or None
     ckpt_path = args.checkpoint or args.pretrained  # reference CLI used --pretrained
     if ckpt_path:
-        params = load_any_checkpoint_params(ckpt_path, params)
+        params, batch_stats = load_any_checkpoint_params(ckpt_path, params, batch_stats)
+    if is_ste:
+        params = fold_weight_standardization(params)
 
     dataset = VideoDataset(
         args.eval_ds, args.eval_set, build_eval_transforms(d.WIDTH, d.HEIGHT),
@@ -65,7 +86,10 @@ def main():
     )
 
     def apply_fn(images, J_regressor=None):
-        return model.apply({"params": params}, images, smpl, J_regressor=J_regressor)
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        return model.apply(variables, images, smpl, J_regressor=J_regressor)
 
     evaluator = Evaluator(smpl)
     evaluator.run(

@@ -169,6 +169,9 @@ def parse_args(argv=None):
                         help="stage 1 checkpoint file path")
     parser.add_argument("--checkpoint", type=str, default="",
                         help="checkpoint to evaluate")
+    parser.add_argument("--init_backbone", type=str, default="",
+                        help="published encoder init (timm .npz or .pth), the "
+                             "reference's pretrained=True auto-download")
     parser.add_argument("--eval_ds", type=str, default="3dpw")
     parser.add_argument("--eval_set", type=str, default="test")
     parser.add_argument("--image_root", type=str, default="")

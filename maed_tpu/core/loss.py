@@ -59,17 +59,24 @@ def keypoint_3d_loss(pred_kp3d, gt_kp3d):
     return (conf * (pred - gt) ** 2).mean()
 
 
-def smpl_losses(pred_pose, pred_shape, gt_pose, gt_shape, w_smpl):
+def smpl_losses(pred_pose, pred_shape, gt_pose, gt_shape, w_smpl=None):
     """Masked MSE on Rodrigues rotation matrices and betas.
 
-    pred/gt pose: (..., 72); shapes: (..., 10); w_smpl: (...) validity.
-    Normalization matches the reference's mean over the *selected* rows.
+    pred/gt pose: (..., 72); shapes: (..., 10); w_smpl: (...) validity or None
+    for unmasked (all rows). Normalization matches the reference's mean over
+    the *selected* rows. The reference only applies the w_smpl selection to
+    video batches (the `len(pred_pose.shape) > 2` guard,
+    /root/reference/lib/core/loss.py:75-81) — image batches pass w_smpl but it
+    is silently ignored; callers reproduce that by passing w_smpl=None.
     """
     pose_p = pred_pose.reshape((-1, pred_pose.shape[-1]))
     pose_g = gt_pose.reshape((-1, gt_pose.shape[-1]))
     shape_p = pred_shape.reshape((-1, pred_shape.shape[-1]))
     shape_g = gt_shape.reshape((-1, gt_shape.shape[-1]))
-    w = w_smpl.reshape(-1).astype(pose_p.dtype)
+    if w_smpl is None:
+        w = jnp.ones((pose_p.shape[0],), pose_p.dtype)
+    else:
+        w = w_smpl.reshape(-1).astype(pose_p.dtype)
 
     X = pose_p.shape[0]
     rm_p = rodrigues(pose_p.reshape(X * 24, 3)).reshape(X, -1)
@@ -150,9 +157,13 @@ def image_loss(
     preds: Dict[str, jnp.ndarray],
     target: Dict[str, jnp.ndarray],
     w: LossWeights,
-    kp_3d_weight: float = 600.0,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Image-batch loss; preds carry a fake T=1 axis that is squeezed."""
+    """Image-batch loss; preds carry a fake T=1 axis that is squeezed.
+
+    Parity notes vs /root/reference/lib/core/loss.py:214-282: the 3D keypoint
+    weight is cfg.LOSS.KP_3D_W (the reference's Loss passes e_3d_loss_weight
+    into LossImage, loss.py:305-310); smpl_losses runs UNMASKED on image
+    batches (the reference's w_smpl selection only fires for video inputs)."""
     pred_j2d = preds["kp_2d"][:, 0]
     pred_j3d = preds["kp_3d"][:, 0]
     pred_theta = preds["theta"][:, 0]
@@ -161,14 +172,14 @@ def image_loss(
         "loss_kp_2d": w.kp_2d * keypoint_2d_loss(pred_j2d, target["kp_2d"]),
     }
     if "kp_3d" in target:
-        loss_dict["loss_kp_3d"] = kp_3d_weight * keypoint_3d_loss(pred_j3d, target["kp_3d"])
+        loss_dict["loss_kp_3d"] = w.kp_3d * keypoint_3d_loss(pred_j3d, target["kp_3d"])
 
     gt_theta = target["theta"]
     if w.shape > 0 and w.pose > 0:
         loss_pose, loss_shape = smpl_losses(
             pred_theta[:, 3:75], pred_theta[:, 75:],
             gt_theta[:, 3:75], gt_theta[:, 75:],
-            target["w_smpl"],
+            w_smpl=None,
         )
         loss_dict["loss_shape"] = w.shape * loss_shape
         loss_dict["loss_pose"] = w.pose * loss_pose

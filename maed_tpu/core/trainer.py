@@ -81,6 +81,18 @@ class Trainer:
             self.resume(cfg.TRAIN.RESUME)
 
     # ------------------------------------------------------------------ #
+    def _shard(self, batch):
+        """dp-shard a host batch over the mesh (the DistributedDataParallel
+        input split, /root/reference/train.py:113); plain device transfer
+        when no mesh is configured."""
+        if batch is None:
+            return None
+        if self.mesh is not None:
+            from maed_tpu.parallel.mesh import shard_batch
+
+            return shard_batch(batch, self.mesh)
+        return batch
+
     def _device_batches(self, i: int):
         """Pull one step's host batches and assemble the jit inputs."""
         target_2d = next(self.train_2d) if self.train_2d else None
@@ -117,36 +129,46 @@ class Trainer:
         return vid_batch, img_batch
 
     # ------------------------------------------------------------------ #
-    def train_epoch(self):
+    def train_epoch(self, log_freq: int = 10):
+        """One epoch. Steps dispatch asynchronously: metrics stay on device
+        and the host only blocks every `log_freq` steps (one sync per log
+        window instead of per step), so data loading for step i+1 overlaps
+        step i's device compute."""
         meters = {}
         timer = StepTimer()
         from maed_tpu.utils.profiling import maybe_trace
 
+        pending = []
         for i in range(self.num_iters):
             timer.start()
             vid_batch, img_batch = self._device_batches(i)
+            vid_batch = self._shard(vid_batch)
+            img_batch = self._shard(img_batch)
             timer.mark("data")
 
             with maybe_trace(self.train_global_step):
                 self.state, metrics = self.train_step(self.state, vid_batch, img_batch)
-            timer.mark("step", block_on=metrics["loss"])
-
-            loss = float(metrics["loss"])
-            if np.isnan(loss):
-                sys.exit("Nan value in loss, exiting!...")
-
-            for k, v in metrics.items():
-                meters.setdefault(k, AverageMeter()).update(float(v))
-            if self.writer is not None and self.rank == 0:
-                for k, m in meters.items():
-                    self.writer.add_scalar(f"train_loss/{k}", m.avg, self.train_global_step)
+            pending.append(metrics)
             self.train_global_step += 1
 
-            if self.rank == 0 and (i % 10 == 0 or i == self.num_iters - 1):
-                s = f"[Train] epoch {self.epoch + 1}/{self.end_epoch} it {i + 1}/{self.num_iters}"
-                s += "".join(f" | {k}: {m.avg:.3f}" for k, m in meters.items())
-                s += f" | data {timer.times.get('data', 0):.2f}s step {timer.times.get('step', 0):.2f}s"
-                (self.logger.info if self.logger else print)(s)
+            if (i + 1) % log_freq == 0 or i == self.num_iters - 1:
+                timer.mark("step", block_on=pending[-1]["loss"])
+                for m in pending:
+                    if np.isnan(float(m["loss"])):
+                        sys.exit("Nan value in loss, exiting!...")
+                    for k, v in m.items():
+                        meters.setdefault(k, AverageMeter()).update(float(v))
+                pending.clear()
+                if self.writer is not None and self.rank == 0:
+                    for k, m in meters.items():
+                        self.writer.add_scalar(
+                            f"train_loss/{k}", m.avg, self.train_global_step
+                        )
+                if self.rank == 0:
+                    s = f"[Train] epoch {self.epoch + 1}/{self.end_epoch} it {i + 1}/{self.num_iters}"
+                    s += "".join(f" | {k}: {m.avg:.3f}" for k, m in meters.items())
+                    s += f" | data {timer.times.get('data', 0):.2f}s step {timer.times.get('step', 0):.2f}s"
+                    (self.logger.info if self.logger else print)(s)
         return {k: m.avg for k, m in meters.items()}
 
     # ------------------------------------------------------------------ #

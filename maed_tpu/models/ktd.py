@@ -78,8 +78,8 @@ class KTD(nn.Module):
             return pred_shape, pred_cam
         return regressor_output(
             smpl_model,
-            pred_pose.astype(jnp.float32),
-            pred_shape.astype(jnp.float32),
-            pred_cam.astype(jnp.float32),
+            pred_pose.astype(jnp.promote_types(pred_pose.dtype, jnp.float32)),
+            pred_shape.astype(jnp.promote_types(pred_shape.dtype, jnp.float32)),
+            pred_cam.astype(jnp.promote_types(pred_cam.dtype, jnp.float32)),
             J_regressor,
         )

@@ -83,7 +83,9 @@ def _attend(q, k, v, scale, dropout_rate, deterministic, dropout_rng_module):
     q, k, v: (..., S, d). Softmax accumulates in f32 for bf16 inputs.
     """
     logits = jnp.einsum("...qd,...kd->...qk", q, k) * scale
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    probs = jax.nn.softmax(
+        logits.astype(jnp.promote_types(logits.dtype, jnp.float32)), axis=-1
+    ).astype(q.dtype)
     if dropout_rate > 0.0 and not deterministic:
         rng = dropout_rng_module.make_rng("dropout")
         keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, probs.shape)

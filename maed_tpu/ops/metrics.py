@@ -57,15 +57,32 @@ def eval_metrics(pred_j3d, target_j3d, vis=None):
 
     pred_j3d, target_j3d: (N, K, 3); vis: (N, K, 1) or None.
     Returns dict of per-frame arrays (meters); caller scales to mm / averages.
+
+    Visibility semantics: joints with vis=0 are zeroed on both sides before
+    centering/Procrustes (static shapes, same as the reference's `*= vis` at
+    /root/reference/lib/core/evaluate.py:144-145) and then *excluded* from the
+    per-frame joint mean — the select semantics of the reference's
+    valid_joints filter (evaluate.py:69), kept per-frame here instead of
+    dividing by a fixed K (which would deflate MPJPE whenever a joint is
+    invisible mid-sequence, e.g. mpii3d). All-visible datasets (3dpw) are
+    bit-identical either way. ACCEL keeps the reference's fixed-K mean.
     """
     if vis is not None:
         pred_j3d = pred_j3d * vis
         target_j3d = target_j3d * vis
+        vis_k = vis[..., 0]  # (N, K)
+    else:
+        vis_k = jnp.ones(pred_j3d.shape[:-1], pred_j3d.dtype)
     pred_c = pelvis_center(pred_j3d)
     target_c = pelvis_center(target_j3d)
+    n_vis = jnp.maximum(vis_k.sum(-1), 1.0)
+
+    err = jnp.sqrt(((pred_c - target_c) ** 2).sum(-1))  # (N, K)
+    aligned = batch_similarity_transform(pred_c, target_c)
+    err_pa = jnp.sqrt(((aligned - target_c) ** 2).sum(-1))
     return {
-        "mpjpe": mpjpe(pred_c, target_c),
-        "pa_mpjpe": pa_mpjpe(pred_c, target_c),
+        "mpjpe": (err * vis_k).sum(-1) / n_vis,
+        "pa_mpjpe": (err_pa * vis_k).sum(-1) / n_vis,
         "accel": accel(pred_c),
         "accel_err": accel_error(pred_c, target_c),
     }

@@ -231,7 +231,11 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray]) -> Tuple[dict, dict, l
 
 
 def convert_torch_checkpoint(path: str, reference_params=None) -> dict:
-    """Load a reference .pth(.tar) checkpoint and convert its params."""
+    """Load a reference .pth(.tar) checkpoint -> {'params', 'batch_stats'}.
+
+    batch_stats carries BN running statistics (the cnn/resnet50 encoder);
+    dropping them would evaluate a converted stage-1 checkpoint with freshly
+    initialized BN stats. Empty dict for the BN-free ste encoder."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
@@ -241,4 +245,4 @@ def convert_torch_checkpoint(path: str, reference_params=None) -> dict:
     params, batch_stats, unmatched = convert_state_dict(state_dict)
     if unmatched:
         print(f"[torch_convert] {len(unmatched)} unmatched keys, e.g. {unmatched[:5]}")
-    return params
+    return {"params": params, "batch_stats": batch_stats}

@@ -98,7 +98,9 @@ def attention_parallel(x, p, seqlen, heads):
     return linear(y, p["proj"])
 
 
-def torch_encoder(x_nhwc, params, seqlen):
+def torch_encoder(x_nhwc, params, seqlen, depth=None, heads=None):
+    depth = DEPTH if depth is None else depth
+    heads = HEADS if heads is None else heads
     p = params
     x = t(np.transpose(x_nhwc, (0, 3, 1, 2)))
 
@@ -123,9 +125,9 @@ def torch_encoder(x_nhwc, params, seqlen):
     tokens = tokens.reshape(-1, seqlen, N, C) + t(p["temp_embed"])[:, :seqlen]
     tokens = tokens.reshape(Bt, N, C)
 
-    for i in range(DEPTH):
+    for i in range(depth):
         blk = p[f"blocks_{i}"]
-        a = attention_parallel(layernorm(tokens, blk["norm1"], C), blk["attn"], seqlen, HEADS)
+        a = attention_parallel(layernorm(tokens, blk["norm1"], C), blk["attn"], seqlen, heads)
         tokens = tokens + a
         m = linear(layernorm(tokens, blk["norm2"], C), blk["mlp"]["fc1"])
         m = F.gelu(m)

@@ -110,7 +110,8 @@ def test_torch_load_path(tmp_path):
     torch.save({"state_dict": state_dict, "performance": 45.7, "epoch": 3}, path)
 
     got = convert_torch_checkpoint(path)
-    got_flat = flatten(got)
+    got_flat = flatten(got["params"])
+    assert got["batch_stats"] == {}  # ste encoder is BN-free
     assert set(got_flat) == set(flat)
     for p in flat:
         np.testing.assert_array_equal(got_flat[p], flat[p])

@@ -102,3 +102,119 @@ def test_trainer_fit_and_resume(tiny_cfg, tmp_path_factory):
         lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
         trainer2.state.params, trainer.state.params))
     assert max(diff) == 0
+
+
+# --------------------------------------------------------------------------- #
+# Data-parallel training through the real Trainer loop (VERDICT round-1 #2):
+# the Trainer must dp-shard every step's batches over the mesh — the
+# DistributedDataParallel equivalent of /root/reference/train.py:113.
+# --------------------------------------------------------------------------- #
+
+class _FixedLoader:
+    """Deterministic loader stub: always yields the same global batch."""
+
+    def __init__(self, batch):
+        self.batch = batch
+
+    def set_epoch(self, epoch):
+        pass
+
+    def __len__(self):
+        return 1
+
+    def __iter__(self):
+        while True:
+            yield dict(self.batch)
+
+
+def _fixed_batches(seed=0, n3d=8, nimg=8, T=2, hw=32):
+    g = np.random.RandomState(seed)
+    kp2d = g.randn(n3d, T, 49, 3).astype(np.float32)
+    kp2d[..., 2] = 1.0
+    kp3d = np.concatenate(
+        [g.randn(n3d, T, 49, 3), np.ones((n3d, T, 49, 1))], axis=3
+    ).astype(np.float32)
+    vid = {
+        "images": g.randn(n3d, T, hw, hw, 3).astype(np.float32),
+        "kp_2d": kp2d,
+        "kp_3d": kp3d,
+        "theta": (g.randn(n3d, T, 85) * 0.1).astype(np.float32),
+        "w_smpl": np.ones((n3d, T), np.float32),
+    }
+    ikp2d = g.randn(nimg, 49, 3).astype(np.float32)
+    ikp2d[..., 2] = 1.0
+    img = {
+        "image": g.randn(nimg, hw, hw, 3).astype(np.float32),
+        "kp_2d": ikp2d,
+        "kp_3d": np.concatenate(
+            [g.randn(nimg, 49, 3), np.ones((nimg, 49, 1))], axis=2
+        ).astype(np.float32),
+        "theta": (g.randn(nimg, 85) * 0.1).astype(np.float32),
+        "w_smpl": np.ones((nimg,), np.float32),
+    }
+    return vid, img
+
+
+def _trainer_for(cfg, mesh, state, step, model, smpl, vid, img):
+    loaders = {"train_3d": _FixedLoader(vid), "train_img": _FixedLoader(img)}
+    return Trainer(
+        data_loaders=loaders, train_step=step, state=state, model=model,
+        smpl_model=smpl, cfg=cfg, logdir="", eval_apply_fn=None,
+        num_iters_per_epoch=1, mesh=mesh,
+    )
+
+
+def test_trainer_dp_sharded_matches_single_device(tiny_cfg):
+    """(i) Trainer inputs are dp-sharded over the mesh; (ii) one Trainer step
+    over the 8-device mesh reproduces the single-device step on the same
+    global batch."""
+    from jax.sharding import NamedSharding
+    from maed_tpu.parallel.mesh import make_mesh, param_shardings
+    from maed_tpu.parallel.train_step import TrainState
+
+    assert len(jax.devices()) == 8
+    cfg = tiny_cfg.clone()
+    cfg.TRAIN.END_EPOCH = 1
+
+    model = MAED(encoder="ste", num_blocks=1, num_heads=2, st_mode="parallel",
+                 decoder="ktd", hidden_dim=32)
+    smpl = synthetic_smpl_model(num_verts=64)
+    tx = make_optimizer(cfg.TRAIN.OPTIM, steps_per_epoch=1)
+    sample = jnp.zeros((8, 2, 32, 32, 3), jnp.float32)
+    state0 = init_train_state(model, tx, sample, smpl, jax.random.PRNGKey(0))
+    step = make_train_step(model, tx, smpl, LossWeights(), donate=False)
+    vid, img = _fixed_batches()
+
+    # --- run A: no mesh (single device) -------------------------------- #
+    trainer_a = _trainer_for(cfg, None, state0, step, model, smpl, vid, img)
+    metrics_a = trainer_a.train_epoch()
+
+    # --- run B: 8-device dp mesh, same init, same global batch --------- #
+    mesh = make_mesh(dp=8, tp=1)
+    shardings = param_shardings(state0.params, mesh)
+    state_b = state0._replace(
+        params=jax.tree.map(jax.device_put, state0.params, shardings)
+    )
+    trainer_b = _trainer_for(cfg, mesh, state_b, step, model, smpl, vid, img)
+
+    # (i) the Trainer's sharding hook really dp-shards the input arrays
+    vb, ib = trainer_b._device_batches(0)
+    vb, ib = trainer_b._shard(vb), trainer_b._shard(ib)
+    imgs = vb["images"]
+    assert isinstance(imgs.sharding, NamedSharding)
+    assert imgs.sharding.spec[0] == "dp"
+    assert imgs.addressable_shards[0].data.shape[0] == 1  # 8 clips / 8 devices
+    assert ib["image"].sharding.spec[0] == "dp"
+
+    metrics_b = trainer_b.train_epoch()
+
+    # (ii) loss (and every other metric) matches the single-device run
+    for k in metrics_a:
+        np.testing.assert_allclose(metrics_b[k], metrics_a[k], rtol=2e-5,
+                                   atol=1e-6, err_msg=k)
+    # params agree too (Adam's rsqrt amplifies f32 reduction-order noise from
+    # the gradient all-reduce by up to ~the LR, so bound by a fraction of it)
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        trainer_a.state.params, trainer_b.state.params))
+    assert max(diffs) < 5e-5

@@ -85,6 +85,15 @@ def main():
     sample = np.zeros((max(n_vid, 1), d.SEQLEN, d.HEIGHT, d.WIDTH, 3), np.float32)
     state = init_train_state(model, tx, sample, smpl, jax.random.PRNGKey(max(cfg.SEED_VALUE, 0)))
 
+    if getattr(args, "init_backbone", ""):
+        from maed_tpu.utils.pretrained import apply_pretrained_backbone
+
+        state = state._replace(
+            params=apply_pretrained_backbone(state.params, args.init_backbone)
+        )
+        if logger:
+            logger.info(f"=> loaded published backbone init from {args.init_backbone}")
+
     if args.pretrained:
         ckpt = load_checkpoint(args.pretrained)
         state = state._replace(
