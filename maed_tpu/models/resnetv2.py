@@ -72,6 +72,46 @@ class StdConv(nn.Module):
         return y
 
 
+class _GroupNormCore(nn.Module):
+    """GroupNorm with TPU-friendly stat computation.
+
+    flax's nn.GroupNorm reshapes the activation to (..., groups, C//groups)
+    and reduces over the trailing axes — on NHWC that splits the lane
+    (channel) dimension, forcing a relayout of the whole tensor (measured
+    ~40% of the hybrid stem's time on v5e). Instead: reduce per-channel
+    spatial moments to a (B, C) tensor, group-pool THOSE (tiny), and apply
+    the normalization as one fused scale+shift pass. Identical statistics
+    (equal channels per group), f32 moment accumulation.
+
+    Param names/shapes match nn.GroupNorm (scale, bias) so checkpoints and
+    the torch/npz converters are unaffected.
+    """
+
+    num_groups: int = 32
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        B = x.shape[0]
+        g = self.num_groups
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        red = tuple(range(1, x.ndim - 1))
+        xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+        s1 = jnp.mean(xf, axis=red)               # (B, C)
+        s2 = jnp.mean(jnp.square(xf), axis=red)   # (B, C)
+        gmean = s1.reshape(B, g, C // g).mean(-1)
+        gsq = s2.reshape(B, g, C // g).mean(-1)
+        mean = jnp.repeat(gmean, C // g, axis=-1)             # (B, C)
+        var = jnp.repeat(gsq, C // g, axis=-1) - jnp.square(mean)
+        mul = (scale * jax.lax.rsqrt(var + self.eps)).astype(self.dtype)
+        add = (bias - mean * (scale * jax.lax.rsqrt(var + self.eps))).astype(self.dtype)
+        bshape = (B,) + (1,) * (x.ndim - 2) + (C,)
+        return x.astype(self.dtype) * mul.reshape(bshape) + add.reshape(bshape)
+
+
 class GroupNormAct(nn.Module):
     num_groups: int = 32
     eps: float = 1e-5
@@ -80,7 +120,10 @@ class GroupNormAct(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps, dtype=self.dtype)(x)
+        y = _GroupNormCore(
+            num_groups=self.num_groups, eps=self.eps, dtype=self.dtype,
+            name="GroupNorm_0",
+        )(x)
         if self.apply_act:
             y = nn.relu(y)
         return y

@@ -61,6 +61,30 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0)
 
 
+class FastLayerNorm(nn.Module):
+    """LayerNorm with a pallas forward on TPU (see ops/layernorm.py: XLA's
+    feature-axis moment reduction runs ~45x off memory roofline at the ViT
+    token shape; the kernel is one read + one write). Param tree matches
+    nn.LayerNorm ({scale, bias}), so checkpoints are unaffected."""
+
+    epsilon: float = 1e-6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from maed_tpu.ops.layernorm import (
+            fast_layernorm, layernorm_reference, use_pallas_layernorm,
+        )
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        x = x.astype(self.dtype)
+        if use_pallas_layernorm():
+            return fast_layernorm(x, scale, bias, self.epsilon)
+        return layernorm_reference(x, scale, bias, self.epsilon)
+
+
 class Mlp(nn.Module):
     hidden_features: int
     out_features: int
@@ -77,20 +101,55 @@ class Mlp(nn.Module):
         return x
 
 
-def _attend(q, k, v, scale, dropout_rate, deterministic, dropout_rng_module):
-    """softmax((q k^T) * scale) v over the second-to-last axis of k/v.
-
-    q, k, v: (..., S, d). Softmax accumulates in f32 for bf16 inputs.
-    """
-    logits = jnp.einsum("...qd,...kd->...qk", q, k) * scale
+def _softmax_drop(logits, dtype, dropout_rate, deterministic, dropout_rng_module):
+    """f32-accumulated softmax over the last axis + (train-only) dropout."""
     probs = jax.nn.softmax(
         logits.astype(jnp.promote_types(logits.dtype, jnp.float32)), axis=-1
-    ).astype(q.dtype)
+    ).astype(dtype)
     if dropout_rate > 0.0 and not deterministic:
         rng = dropout_rng_module.make_rng("dropout")
         keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, probs.shape)
         probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
-    return jnp.einsum("...qk,...kd->...qd", probs, v)
+    return probs
+
+
+class _LNParams(nn.Module):
+    """Param holder with nn.LayerNorm's tree ({scale, bias})."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32),
+                self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32))
+
+
+class _DenseParams(nn.Module):
+    """Param holder with nn.Dense's tree ({kernel, bias})."""
+
+    in_dim: int
+    out_dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_dim, self.out_dim), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (self.out_dim,), jnp.float32)
+                if self.use_bias else None)
+        return kernel, bias
+
+
+class _MlpParams(nn.Module):
+    """Param holder matching the Mlp module tree (fc1/fc2)."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        return (_DenseParams(self.dim, self.hidden, name="fc1")(),
+                _DenseParams(self.hidden, self.dim, name="fc2")())
 
 
 class StAttention(nn.Module):
@@ -115,84 +174,135 @@ class StAttention(nn.Module):
 
     def setup(self):
         assert self.st_mode in ST_MODES, self.st_mode
-        self.qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")
+        self.qkv_p = _DenseParams(self.dim, self.dim * 3,
+                                  use_bias=self.qkv_bias, name="qkv")
         self.proj = nn.Dense(self.dim, dtype=self.dtype, name="proj")
         self.proj_dropout = nn.Dropout(self.proj_drop)
         if self.st_mode == "parallel":
             self.ts_attn = nn.Dense(self.dim * 2, dtype=self.dtype, name="ts_attn")
 
-    def _qkv_heads(self, x):
+    def _qkv_heads(self, x, ln=None):
+        """Project to q, k, v and split heads WITHOUT transposing.
+
+        Returns one (BT, N, 3, h, d) array. All downstream attention modes use
+        einsum subscripts (or pallas kernels) that read this layout directly,
+        so XLA folds every head split / batch regroup into the matmuls' data
+        fetches instead of materializing transposed copies (the reference
+        permutes to (3, BT, h, N, d) torch-style,
+        vision_transformer.py:129-131 — a real data movement at
+        (128, 197, 2304) that the TPU never needs to do).
+
+        With `ln` = (scale, bias), x is the block's PRE-norm input and the
+        norm1 LayerNorm fuses into the projection's pallas kernel
+        (ops/mlp.py::fused_ln_dense) — one read of x, no materialized
+        normalized tokens.
+        """
+        from maed_tpu.ops.mlp import fused_ln_dense, use_fused_mlp
+
         BT, N, C = x.shape
         h = self.num_heads
-        qkv = self.qkv(x).reshape(BT, N, 3, h, C // h)
-        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, BT, h, N, d)
-        return qkv[0], qkv[1], qkv[2]
+        kern, bias = self.qkv_p()
+        x = x.astype(self.dtype)
+        if ln is not None and use_fused_mlp():
+            b = jnp.zeros((self.dim * 3,), jnp.float32) if bias is None else bias
+            y = fused_ln_dense(x, ln[0], ln[1], kern, b)
+        else:
+            if ln is not None:
+                from maed_tpu.ops.layernorm import layernorm_reference
 
-    def _spatial(self, q, k, v, deterministic):
-        BT, h, N, d = q.shape
+                x = layernorm_reference(x, ln[0], ln[1], 1e-6)
+            y = jnp.dot(x, kern.astype(self.dtype))
+            if bias is not None:
+                y = y + bias.astype(self.dtype)
+        return y.reshape(BT, N, 3, h, C // h)
+
+    def _spatial(self, qkv, deterministic):
+        BT, N, _, h, d = qkv.shape
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         if _use_fused_attention() and (self.attn_drop == 0.0 or deterministic):
             from maed_tpu.ops.attention import fused_attention
 
-            out = fused_attention(q, k, v, d ** -0.5)
-        else:
-            out = _attend(q, k, v, d ** -0.5, self.attn_drop, deterministic, self)
-        return jnp.transpose(out, (0, 2, 1, 3)).reshape(BT, N, h * d)
+            bhsd = lambda a: jnp.transpose(a, (0, 2, 1, 3))
+            out = fused_attention(bhsd(q), bhsd(k), bhsd(v), d ** -0.5)
+            return jnp.transpose(out, (0, 2, 1, 3)).reshape(BT, N, h * d)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (d ** -0.5)
+        probs = _softmax_drop(logits, q.dtype, self.attn_drop, deterministic, self)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        return out.reshape(BT, N, h * d)
 
-    def _temporal(self, q, k, v, seqlen, deterministic):
-        BT, h, N, d = q.shape
+    def _temporal(self, qkv, seqlen, deterministic):
+        BT, N, _, h, d = qkv.shape
         B = BT // seqlen
 
-        def to_t(a):  # (BT, h, N, d) -> (B, h, N, T, d)
-            return jnp.transpose(a.reshape(B, seqlen, h, N, d), (0, 2, 3, 1, 4))
+        from maed_tpu.ops.st_attention import (
+            temporal_attention, use_pallas_st_attention,
+        )
 
-        out = _attend(to_t(q), to_t(k), to_t(v), d ** -0.5, self.attn_drop, deterministic, self)
-        # (B, h, N, T, d) -> (BT, N, C)
-        out = jnp.transpose(out, (0, 3, 2, 1, 4)).reshape(BT, N, h * d)
-        return out
+        if use_pallas_st_attention() and (self.attn_drop == 0.0 or deterministic):
+            # MXU-stacked pallas kernel (18912 tiny per-token matmuls are
+            # ~2% MXU utilization as an XLA batched dot — see ops/st_attention)
+            out = temporal_attention(qkv, seqlen, d ** -0.5)  # (h, BT, N, d)
+            return jnp.transpose(out, (1, 2, 0, 3)).reshape(BT, N, h * d)
 
-    def _coupling(self, q, k, v, seqlen, deterministic):
-        BT, h, N, d = q.shape
+        def to_t(a):  # (BT, N, h, d) -> (B, T, N, h, d): a free reshape
+            return a.reshape(B, seqlen, N, h, d)
+
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        logits = jnp.einsum("bqnhd,bknhd->bnhqk", to_t(q), to_t(k)) * (d ** -0.5)
+        probs = _softmax_drop(logits, q.dtype, self.attn_drop, deterministic, self)
+        out = jnp.einsum("bnhqk,bknhd->bqnhd", probs, to_t(v))
+        return out.reshape(BT, N, h * d)
+
+    def _coupling(self, qkv, seqlen, deterministic):
+        BT, N, _, h, d = qkv.shape
         B = BT // seqlen
 
-        def to_tn(a):  # (BT, h, N, d) -> (B, h, T*N, d)
-            return jnp.transpose(a.reshape(B, seqlen, h, N, d), (0, 2, 1, 3, 4)).reshape(
-                B, h, seqlen * N, d
-            )
+        def to_tn(a):  # (BT, N, h, d) -> (B, T*N, h, d): a free reshape
+            return a.reshape(B, seqlen * N, h, d)
 
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         if _use_fused_attention() and (self.attn_drop == 0.0 or deterministic):
             from maed_tpu.ops.attention import fused_attention
 
-            out = fused_attention(to_tn(q), to_tn(k), to_tn(v), d ** -0.5)
+            bhsd = lambda a: jnp.transpose(to_tn(a), (0, 2, 1, 3))
+            out = fused_attention(bhsd(q), bhsd(k), bhsd(v), d ** -0.5)
+            out = jnp.transpose(out, (0, 2, 1, 3))
         else:
-            out = _attend(to_tn(q), to_tn(k), to_tn(v), d ** -0.5, self.attn_drop, deterministic, self)
-        out = out.reshape(B, h, seqlen, N, d)
-        out = jnp.transpose(out, (0, 2, 3, 1, 4)).reshape(BT, N, h * d)
-        return out
+            logits = jnp.einsum("bqhd,bkhd->bhqk", to_tn(q), to_tn(k)) * (d ** -0.5)
+            probs = _softmax_drop(logits, q.dtype, self.attn_drop, deterministic, self)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, to_tn(v))
+        return out.reshape(BT, N, h * d)
 
-    def __call__(self, x, seqlen: int = 1, deterministic: bool = True):
+    def __call__(self, x, seqlen: int = 1, deterministic: bool = True, ln=None):
+        """ln=(scale, bias): x is pre-norm and norm1 fuses into the qkv
+        projection; ln=None: x is already normalized (reference-style)."""
         BT, N, C = x.shape
 
         if self.st_mode in ("vanilla", "spatial"):
-            q, k, v = self._qkv_heads(x)
-            y = self._spatial(q, k, v, deterministic)
+            y = self._spatial(self._qkv_heads(x, ln), deterministic)
         elif self.st_mode == "temporal":
+            if ln is not None:
+                from maed_tpu.ops.layernorm import layernorm_reference
+
+                x = layernorm_reference(x.astype(self.dtype), ln[0], ln[1], 1e-6)
             xm = x.mean(axis=1, keepdims=True)  # (BT, 1, C)
-            q, k, v = self._qkv_heads(xm)
-            y = self._temporal(q, k, v, seqlen, deterministic)
+            y = self._temporal(self._qkv_heads(xm), seqlen, deterministic)
         elif self.st_mode == "coupling":
-            q, k, v = self._qkv_heads(x)
-            y = self._coupling(q, k, v, seqlen, deterministic)
+            y = self._coupling(self._qkv_heads(x, ln), seqlen, deterministic)
         elif self.st_mode == "series":
-            q, k, v = self._qkv_heads(x)
-            y = self._spatial(q, k, v, deterministic)
-            q, k, v = self._qkv_heads(y)
-            y = self._temporal(q, k, v, seqlen, deterministic)
+            y = self._spatial(self._qkv_heads(x, ln), deterministic)
+            y = self._temporal(self._qkv_heads(y), seqlen, deterministic)
         elif self.st_mode == "parallel":
-            q, k, v = self._qkv_heads(x)
-            y_t = self._temporal(q, k, v, seqlen, deterministic)
-            y_s = self._spatial(q, k, v, deterministic)
-            # learned per-channel gate over the two branches
-            alpha = jnp.concatenate([y_s, y_t], axis=-1).mean(axis=1, keepdims=True)
+            qkv = self._qkv_heads(x, ln)
+            y_t = self._temporal(qkv, seqlen, deterministic)
+            y_s = self._spatial(qkv, deterministic)
+            # learned per-channel gate over the two branches. mean-then-concat
+            # == concat-then-mean (reference concats the full (BT, N, 2C)
+            # tensor first); reducing first keeps the concat at (BT, 1, 2C).
+            alpha = jnp.concatenate(
+                [y_s.mean(axis=1, keepdims=True), y_t.mean(axis=1, keepdims=True)],
+                axis=-1,
+            )
             alpha = self.ts_attn(alpha).reshape(BT, 1, C, 2)
             alpha = jax.nn.softmax(alpha, axis=-1)
             # attention-weight accounting (the reference's count_attn hooks,
@@ -221,16 +331,56 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, seqlen: int = 1, deterministic: bool = True):
+        import os
+
+        ln1 = _LNParams(self.dim, name="norm1")()
+        # MAED_FUSED_QKV=1 fuses norm1 into a pallas LN+qkv kernel; default
+        # off — measured on v5e, XLA's own qkv matmul (~177 TF/s) plus its
+        # LN fusion beats the hand kernel by ~0.7 ms/block.
+        if os.environ.get("MAED_FUSED_QKV", "0") == "1":
+            attn_in, ln_arg = x, ln1
+        else:
+            from maed_tpu.ops.layernorm import (
+                fast_layernorm, layernorm_reference, use_pallas_layernorm,
+            )
+
+            xd = x.astype(self.dtype)
+            attn_in = (fast_layernorm(xd, ln1[0], ln1[1], 1e-6)
+                       if use_pallas_layernorm()
+                       else layernorm_reference(xd, ln1[0], ln1[1], 1e-6))
+            ln_arg = None
         attn_out = StAttention(
             self.dim, self.num_heads, self.qkv_bias, self.attn_drop, self.drop,
             st_mode=self.st_mode, dtype=self.dtype, name="attn",
-        )(nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x), seqlen, deterministic)
+        )(attn_in, seqlen, deterministic, ln=ln_arg)
         x = x + DropPath(self.drop_path, name="drop_path1")(attn_out, deterministic)
-        mlp_out = Mlp(
-            int(self.dim * self.mlp_ratio), self.dim, self.drop, dtype=self.dtype, name="mlp",
-        )(nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x), deterministic)
-        x = x + DropPath(self.drop_path, name="drop_path2")(mlp_out, deterministic)
-        return x
+
+        # MLP half: params live at the same paths as the modular
+        # norm2/Mlp(fc1, fc2) layout; the compute goes through ONE fused
+        # LN+fc1+gelu+fc2+residual pallas kernel on TPU (ops/mlp.py) when no
+        # stochastic op is active, else through the identical-math jnp path.
+        ln_s, ln_b = _LNParams(self.dim, name="norm2")()
+        (w1, b1), (w2, b2) = _MlpParams(
+            self.dim, int(self.dim * self.mlp_ratio), name="mlp")()
+        from maed_tpu.ops.mlp import fused_ln_mlp, ln_mlp_reference, use_fused_mlp
+
+        stochastic = not deterministic and (self.drop > 0.0 or self.drop_path > 0.0)
+        x = x.astype(self.dtype)
+        if use_fused_mlp() and not stochastic:
+            return fused_ln_mlp(x, ln_s, ln_b, w1, b1, w2, b2, 1e-6)
+        y = layernorm_reference_local(x, ln_s, ln_b)
+        y = jnp.dot(y, w1.astype(self.dtype)) + b1.astype(self.dtype)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dropout(self.drop)(y, deterministic=deterministic)
+        y = jnp.dot(y, w2.astype(self.dtype)) + b2.astype(self.dtype)
+        y = nn.Dropout(self.drop)(y, deterministic=deterministic)
+        return x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
+
+
+def layernorm_reference_local(x, scale, bias, eps=1e-6):
+    from maed_tpu.ops.layernorm import layernorm_reference
+
+    return layernorm_reference(x, scale, bias, eps)
 
 
 class HybridEmbed(nn.Module):
@@ -334,7 +484,7 @@ class VisionTransformer(nn.Module):
                 st_mode=self.st_mode, dtype=self.dtype, name=f"blocks_{i}",
             )(tokens, seqlen, deterministic)
 
-        tokens = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(tokens)
+        tokens = FastLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(tokens)
         feat = tokens[:, 0]
         if self.representation_size:
             feat = nn.Dense(self.representation_size, dtype=self.dtype, name="pre_logits")(feat)

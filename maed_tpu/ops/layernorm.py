@@ -1,0 +1,104 @@
+"""Pallas LayerNorm for the ViT token tensor.
+
+Why: XLA's lowering of the (BT, N, C) -> (BT, N) feature-axis moment
+reduction runs at ~18 GB/s effective on v5e (measured in the full-model
+trace: 2.1 ms per LayerNorm on a 38.7 MB bf16 tensor — 12.4 ms/step of the
+flagship eval forward was LayerNorm statistics). The tile-resident kernel
+does the whole normalization in one read + one write (~0.1 ms).
+
+The kernel flattens tokens to (M, C), grids over M-blocks, computes f32
+moments per row with an in-register lane reduction, and applies
+scale/shift in the same pass. Backward is a custom VJP running the plain
+jnp formulation (matmul-shaped; only the forward lowering is pathological
+— and in the backward XLA fuses the stat reductions into the surrounding
+gradient computation).
+
+Parity: torch.nn.LayerNorm semantics (biased variance, eps inside sqrt),
+/root/reference/lib/models/vision_transformer.py:247 (norm1/norm2/norm).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+
+    _HAS_PALLAS = True
+except ImportError:  # pragma: no cover
+    _HAS_PALLAS = False
+
+_INTERPRET = False  # tests flip this to run the kernel on CPU
+
+
+def use_pallas_layernorm() -> bool:
+    if not _HAS_PALLAS:
+        return False
+    if os.environ.get("MAED_PALLAS_LN", "1") != "1":
+        return False
+    return _INTERPRET or jax.default_backend() == "tpu"
+
+
+def layernorm_reference(x, scale, bias, eps):
+    """LayerNorm over the last axis (biased variance); statistics accumulate
+    in promote(x.dtype, f32) so f64 oracles stay f64."""
+    st = jnp.promote_types(x.dtype, jnp.float32)
+    xf = x.astype(st)
+    m = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(m)
+    y = (xf - m) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(st) + bias.astype(st)
+    return y.astype(x.dtype)
+
+
+def _ln_kernel(x_ref, scale_ref, bias_ref, o_ref, *, eps):
+    x = x_ref[...].astype(jnp.float32)               # (BM, C)
+    m = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x), axis=-1, keepdims=True) - jnp.square(m)
+    y = (x - m) * jax.lax.rsqrt(var + eps)
+    y = y * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _ln_pallas(x2, scale, bias, eps, block_m=512):
+    M, C = x2.shape
+    block_m = min(block_m, M)
+    grid = (pl.cdiv(M, block_m),)
+    return pl.pallas_call(
+        functools.partial(_ln_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((M, C), x2.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, C), lambda i: (i, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_m, C), lambda i: (i, 0)),
+        interpret=_INTERPRET,
+    )(x2, scale.reshape(1, C), bias.reshape(1, C))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fast_layernorm(x, scale, bias, eps=1e-6):
+    """LayerNorm over the last axis of x (any leading shape), f32 stats."""
+    shape = x.shape
+    y = _ln_pallas(x.reshape(-1, shape[-1]), scale, bias, eps)
+    return y.reshape(shape)
+
+
+def _ln_fwd(x, scale, bias, eps):
+    return fast_layernorm(x, scale, bias, eps), (x, scale, bias)
+
+
+def _ln_bwd(eps, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(lambda x, s, b: layernorm_reference(x, s, b, eps),
+                     x, scale, bias)
+    return vjp(g)
+
+
+fast_layernorm.defvjp(_ln_fwd, _ln_bwd)

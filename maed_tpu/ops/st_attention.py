@@ -1,0 +1,221 @@
+"""Pallas kernels for the spatio-temporal attention branches (parallel mode).
+
+Design (BT=128, N=197, C=768, T=16 is the flagship shape):
+
+  * spatial: grids over frames, keeps each head's (N, N) scores in VMEM, and
+    reads q/k/v straight from the qkv projection's natural (BT, N, 3, h, d)
+    layout — no relayout on either side. Avoids the (BT, h, N, N) score
+    tensor XLA materializes in HBM (~480 MB of traffic per block).
+  * temporal: per-token temporal attention is 18912 independent (T, d) x
+    (d, T) matmuls (T=16, d=64). The kernel stacks NB=8 token positions into
+    the matmul M/N dimensions, computes one (NB*T, NB*T) product per head
+    whose (n, n') off-diagonal blocks are then masked to -inf before the
+    softmax: the probability matrix is exactly block-diagonal, so the second
+    (NB*T, NB*T) @ (NB*T, d) matmul yields the per-token results directly —
+    trading an 8x FLOP waste for dense MXU tiles.
+
+Both are forward kernels with a custom VJP whose backward runs the plain XLA
+einsum formulation (attention backward is matmul-shaped and XLA handles it
+well).
+
+Measured verdict on v5e (see use_pallas_st_attention): XLA's own batched-dot
+packing makes the einsum path faster at these exact shapes, so the kernels
+are opt-in, validated against the einsum path in interpret mode on CPU.
+
+Behavioral parity: /root/reference/lib/models/vision_transformer.py:134-145
+(spatial) and :160-176 (temporal path of st_mode in parallel/series).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+
+    _HAS_PALLAS = True
+except ImportError:  # pragma: no cover
+    _HAS_PALLAS = False
+
+_INTERPRET = False  # tests flip this to run the kernels on CPU
+
+
+def use_pallas_st_attention() -> bool:
+    """Opt-in (MAED_PALLAS_ATTENTION=1), off by default.
+
+    Measured on v5e in the full 6-block chain the temporal kernel runs at
+    ~1.6 ms/branch vs XLA's 1.2 ms: the hardware's batched-dot packing (two
+    K=64 contractions share one 128-wide MXU pass) already covers the tiny-
+    matmul problem, and the kernel's head-serial softmax plus the (h, BT, N,
+    d) -> (BT, N, C) output relayout cost more than the score-tensor HBM
+    traffic it saves at T=16. Kept for larger T (the waste factor NB shrinks
+    relative to the score tile as T grows) and other TPU generations.
+    """
+    if not _HAS_PALLAS:
+        return False
+    if os.environ.get("MAED_PALLAS_ATTENTION", "0") != "1":
+        return False
+    return _INTERPRET or jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# reference einsum formulations (used for the backward pass and for fallback)
+# ---------------------------------------------------------------------------
+
+def spatial_reference(qkv, scale):
+    """qkv: (BT, N, 3, h, d) -> (h, BT, N, d) head-leading."""
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->hbqd", probs, v)
+
+
+def temporal_reference(qkv, seqlen, scale):
+    """qkv: (BT, N, 3, h, d) -> (h, BT, N, d); attention over T per (n, h)."""
+    BT, N, _, h, d = qkv.shape
+    B = BT // seqlen
+    t = qkv.reshape(B, seqlen, N, 3, h, d)
+    q, k, v = t[:, :, :, 0], t[:, :, :, 1], t[:, :, :, 2]
+    logits = jnp.einsum("bqnhd,bknhd->bnhqk", q, k) * scale
+    probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(q.dtype)
+    out = jnp.einsum("bnhqk,bknhd->hbqnd", probs, v)
+    return out.reshape(h, BT, N, d)
+
+
+# ---------------------------------------------------------------------------
+# spatial kernel: grid over frames, per-head VMEM-resident scores
+# ---------------------------------------------------------------------------
+
+def _spatial_kernel(qkv_ref, o_ref, *, scale, num_heads):
+    contract_last = (((1,), (1,)), ((), ()))
+    for h in range(num_heads):
+        q = qkv_ref[0, :, 0, h, :]  # (N, d)
+        k = qkv_ref[0, :, 1, h, :]
+        v = qkv_ref[0, :, 2, h, :]
+        s = jax.lax.dot_general(
+            q, k, contract_last, preferred_element_type=jnp.float32
+        ) * scale                                           # (N, N) f32
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        # head-leading output: the store indexes only leading dims, which
+        # Mosaic lowers without a shape cast (a (BT, N, h, d) layout would
+        # need an unsupported strided mid-dim store)
+        o_ref[h, 0] = o.astype(o_ref.dtype)
+
+
+def _spatial_pallas(qkv, scale):
+    BT, N, _, h, d = qkv.shape
+    return pl.pallas_call(
+        functools.partial(_spatial_kernel, scale=scale, num_heads=h),
+        out_shape=jax.ShapeDtypeStruct((h, BT, N, d), qkv.dtype),
+        grid=(BT,),
+        in_specs=[pl.BlockSpec((1, N, 3, h, d), lambda i: (i, 0, 0, 0, 0))],
+        out_specs=pl.BlockSpec((h, 1, N, d), lambda i: (0, i, 0, 0)),
+        interpret=_INTERPRET,
+    )(qkv)
+
+
+# ---------------------------------------------------------------------------
+# temporal kernel: stack NB token positions into one MXU-sized matmul whose
+# off-diagonal (n, n') blocks are masked off
+# ---------------------------------------------------------------------------
+
+def _temporal_kernel(qkv_ref, o_ref, *, scale, num_heads, seqlen, nb, n_total):
+    T, NB = seqlen, nb
+    M = T * NB
+    contract_last = (((1,), (1,)), ((), ()))
+    # row index = q * NB + n (the (T, NB) reshape order); valid pairs share n
+    rows = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+    valid = (rows % NB) == (cols % NB)
+    neg = jnp.float32(-1e30)
+    # the last n-block is partial when NB does not divide N: its padded
+    # lanes hold garbage (possibly NaN), and 0 * NaN = NaN would leak
+    # through the P @ V product into valid rows — zero the garbage V rows
+    valid_n = n_total - pl.program_id(1) * NB
+    vmask = (jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) % NB) < valid_n
+    for h in range(num_heads):
+        q = qkv_ref[:, :, 0, h, :].reshape(M, -1)  # (T*NB, d), row = q*NB+n
+        k = qkv_ref[:, :, 1, h, :].reshape(M, -1)
+        v = qkv_ref[:, :, 2, h, :].reshape(M, -1)
+        v = jnp.where(vmask, v, jnp.zeros_like(v))
+        s = jax.lax.dot_general(
+            q, k, contract_last, preferred_element_type=jnp.float32
+        )                                                   # (M, M) f32
+        s = jnp.where(valid, s * scale, neg)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        # p is exactly block-diagonal over n, so the full (M, M) @ (M, d)
+        # product contracts only the matching-n terms
+        o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        # head-leading output so the store indexes only leading dims
+        o_ref[h] = o.reshape(T, NB, -1).astype(o_ref.dtype)
+
+
+def _temporal_pallas(qkv, seqlen, scale, nb=8):
+    BT, N, _, h, d = qkv.shape
+    B = BT // seqlen
+    nb = min(nb, N)
+    nblocks = pl.cdiv(N, nb)
+    return pl.pallas_call(
+        functools.partial(
+            _temporal_kernel, scale=scale, num_heads=h, seqlen=seqlen, nb=nb,
+            n_total=N,
+        ),
+        out_shape=jax.ShapeDtypeStruct((h, BT, N, d), qkv.dtype),
+        grid=(B, nblocks),
+        in_specs=[
+            pl.BlockSpec((seqlen, nb, 3, h, d), lambda b, n: (b, n, 0, 0, 0))
+        ],
+        out_specs=pl.BlockSpec(
+            (h, seqlen, nb, d), lambda b, n: (0, b, n, 0)
+        ),
+        interpret=_INTERPRET,
+    )(qkv)
+
+
+# ---------------------------------------------------------------------------
+# public entries (custom VJP: pallas forward, einsum backward)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def spatial_attention(qkv, scale):
+    """qkv (BT, N, 3, h, d) -> (h, BT, N, d) per-frame attention over N."""
+    return _spatial_pallas(qkv, scale)
+
+
+def _spatial_fwd(qkv, scale):
+    return _spatial_pallas(qkv, scale), qkv
+
+
+def _spatial_bwd(scale, qkv, g):
+    _, vjp = jax.vjp(lambda t: spatial_reference(t, scale), qkv)
+    return vjp(g)
+
+
+spatial_attention.defvjp(_spatial_fwd, _spatial_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def temporal_attention(qkv, seqlen, scale):
+    """qkv (BT, N, 3, h, d) -> (h, BT, N, d) per-token attention over T."""
+    return _temporal_pallas(qkv, seqlen, scale)
+
+
+def _temporal_fwd(qkv, seqlen, scale):
+    return _temporal_pallas(qkv, seqlen, scale), qkv
+
+
+def _temporal_bwd(seqlen, scale, qkv, g):
+    _, vjp = jax.vjp(lambda t: temporal_reference(t, seqlen, scale), qkv)
+    return vjp(g)
+
+
+temporal_attention.defvjp(_temporal_fwd, _temporal_bwd)
