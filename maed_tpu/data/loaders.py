@@ -65,6 +65,7 @@ class ShardedLoader:
         seed: int = 0,
         drop_last: bool = True,
         prefetch: int = 2,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -75,6 +76,7 @@ class ShardedLoader:
         self.epoch = 0
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.num_workers = num_workers
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -98,22 +100,93 @@ class ShardedLoader:
             return per_shard // self.batch_size
         return int(np.ceil(per_shard / self.batch_size))
 
+    def _make_batch(self, idxs, b):
+        chunk = idxs[b * self.batch_size:(b + 1) * self.batch_size]
+        if len(chunk) < self.batch_size and self.drop_last:
+            return None
+        samples = []
+        for i in chunk:
+            # per-(epoch, index) rng: augmentation draws are deterministic
+            # and identical no matter which worker fetches the sample
+            rng = np.random.RandomState(
+                (self.seed + self.epoch * 1_000_003 + int(i)) % (2 ** 31 - 1)
+            )
+            samples.append(self.dataset.__getitem__(int(i), rng=rng))
+        return collate(samples)
+
     def _batches(self):
         idxs = self._shard_indices()
-        nb = len(self)
-        for b in range(nb):
-            chunk = idxs[b * self.batch_size:(b + 1) * self.batch_size]
-            if len(chunk) < self.batch_size and self.drop_last:
+        for b in range(len(self)):
+            batch = self._make_batch(idxs, b)
+            if batch is None:
                 return
-            samples = []
-            for i in chunk:
-                rng = np.random.RandomState(
-                    (self.seed + self.epoch * 1_000_003 + int(i)) % (2 ** 31 - 1)
-                )
-                samples.append(self.dataset.__getitem__(int(i), rng=rng))
-            yield collate(samples)
+            yield batch
+
+    def _iter_workers(self):
+        """Multi-process fetch: worker w produces batches b with
+        b % num_workers == w (torch DataLoader's round-robin assignment,
+        /root/reference/lib/dataset/loaders.py:61-133 via NUM_WORKERS);
+        the consumer reorders so batch order is identical to num_workers=0.
+        Fork start: workers inherit the in-memory DB copy-on-write instead
+        of pickling it."""
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        nb = len(self)
+        nw = min(self.num_workers, max(nb, 1))
+        out_q = ctx.Queue(maxsize=max(2 * nw, 4))
+        idxs = self._shard_indices()
+
+        def work(worker_id):
+            try:
+                for b in range(worker_id, nb, nw):
+                    batch = self._make_batch(idxs, b)
+                    if batch is None:
+                        break
+                    out_q.put((b, batch))
+                out_q.put((None, worker_id))
+            except BaseException as e:
+                out_q.put((-1, f"{type(e).__name__}: {e}"))
+
+        procs = [ctx.Process(target=work, args=(w,), daemon=True) for w in range(nw)]
+        for p in procs:
+            p.start()
+        try:
+            pending = {}
+            done_workers = 0
+            next_b = 0
+            while done_workers < nw or pending:
+                if next_b in pending:
+                    yield pending.pop(next_b)
+                    next_b += 1
+                    continue
+                if done_workers == nw:
+                    break  # remaining batches were dropped (drop_last)
+                try:
+                    b, payload = out_q.get(timeout=60)
+                except queue.Empty:
+                    if not any(p.is_alive() for p in procs):
+                        raise RuntimeError(
+                            "all loader workers died without a sentinel "
+                            "(killed? OOM?)"
+                        )
+                    continue
+                if b is None:
+                    done_workers += 1
+                elif b == -1:
+                    raise RuntimeError(f"loader worker failed: {payload}")
+                else:
+                    pending[b] = payload
+        finally:
+            for p in procs:
+                p.terminate()
+            for p in procs:
+                p.join(timeout=5)
 
     def __iter__(self):
+        if self.num_workers > 0:
+            yield from self._iter_workers()
+            return
         if self.prefetch <= 0:
             yield from self._batches()
             return
@@ -172,6 +245,8 @@ def get_data_loaders(
     db_overrides maps dataset name -> preloaded DB dict (used by tests and
     environments without the preprocessed DB files).
     """
+    import os
+
     from maed_tpu.data.dataset import ImageDataset, VideoDataset
     from maed_tpu.data.transforms import build_eval_transforms, build_train_transforms
 
@@ -179,6 +254,10 @@ def get_data_loaders(
     train_tf = build_train_transforms(d)
     eval_tf = build_eval_transforms(d.WIDTH, d.HEIGHT)
     db_overrides = db_overrides or {}
+    # worker processes (reference DataLoader NUM_WORKERS) only help with
+    # spare cores; on a 1-core host fall back to the prefetch thread
+    workers = min(int(getattr(cfg, "NUM_WORKERS", 0)),
+                  max((os.cpu_count() or 1) - 1, 0))
 
     def vds(name, set_name, **kw):
         return VideoDataset(
@@ -198,6 +277,7 @@ def get_data_loaders(
         loaders["train_2d"] = ShardedLoader(
             ds2d, cfg.TRAIN.BATCH_SIZE_2D, shuffle=True, rank=rank,
             world_size=world_size, seed=cfg.SEED_VALUE if cfg.SEED_VALUE > 0 else 0,
+            num_workers=workers,
         )
 
     if cfg.TRAIN.DATASETS_3D:
@@ -210,6 +290,7 @@ def get_data_loaders(
         loaders["train_3d"] = ShardedLoader(
             ds3d, cfg.TRAIN.BATCH_SIZE_3D, shuffle=True, rank=rank,
             world_size=world_size, seed=1 + (cfg.SEED_VALUE if cfg.SEED_VALUE > 0 else 0),
+            num_workers=workers,
         )
 
     if cfg.TRAIN.DATASETS_IMG:
@@ -221,6 +302,7 @@ def get_data_loaders(
         loaders["train_img"] = ShardedLoader(
             dsimg, cfg.TRAIN.BATCH_SIZE_IMG, shuffle=True, rank=rank,
             world_size=world_size, seed=2 + (cfg.SEED_VALUE if cfg.SEED_VALUE > 0 else 0),
+            num_workers=workers,
         )
 
     eval_name = cfg.TRAIN.DATASET_EVAL.lower().replace("threedpw", "3dpw")

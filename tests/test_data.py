@@ -232,6 +232,40 @@ def test_sharded_loader_epoch_reshuffles(video_db):
     assert sorted(i0.tolist()) == sorted(i1.tolist())
 
 
+def test_sharded_loader_worker_processes_match_inline(video_db):
+    """num_workers>0 (multi-process fetch) yields byte-identical batches in
+    identical order to the inline path — the deterministic per-(epoch, index)
+    rng makes worker assignment invisible."""
+    tf = build_eval_transforms(32, 32)
+    ds = VideoDataset("testds", "train", tf, seqlen=4, sample_pool=4,
+                      overlap=0, random_sample=False, db=video_db, verbose=False)
+    inline = ShardedLoader(ds, batch_size=2, shuffle=True, prefetch=0)
+    multi = ShardedLoader(ds, batch_size=2, shuffle=True, num_workers=2)
+    inline.set_epoch(3)
+    multi.set_epoch(3)
+    a = list(inline)
+    b = list(multi)
+    assert len(a) == len(b) and len(a) > 0
+    for ba, bb in zip(a, b):
+        assert set(ba) == set(bb)
+        for k in ba:
+            if isinstance(ba[k], np.ndarray):
+                np.testing.assert_array_equal(ba[k], bb[k])
+
+
+def test_sharded_loader_worker_error_propagates(video_db):
+    class Boom:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i, rng=None):
+            raise ValueError("boom")
+
+    ld = ShardedLoader(Boom(), batch_size=2, num_workers=2)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(ld)
+
+
 def test_collate_mixed_types():
     s = [{"a": np.ones(3), "b": "x"}, {"a": np.zeros(3), "b": "y"}]
     out = collate(s)

@@ -4,6 +4,8 @@ protobuf wire bytes)."""
 
 import struct
 
+import pytest
+
 import numpy as np
 
 from maed_tpu.data.preprocess.insta import iter_tfrecord, parse_example
@@ -115,3 +117,77 @@ def test_parse_example_roundtrip(tmp_path):
     ex = parse_example(records[0])
     np.testing.assert_allclose(np.asarray(ex["image/xys"]), floats, rtol=1e-6)
     assert ex["image_data"] == imgs
+
+
+def test_parse_example_against_tensorflow_written_shard(tmp_path):
+    """Validate the no-TF wire-format reader against a REAL TensorFlow-written
+    tfrecord shard: official length+masked-CRC framing, packed float lists,
+    varint-packed int64 lists, multi-record files — the edge cases the
+    self-round-trip test (above) cannot exercise."""
+    tf = pytest.importorskip("tensorflow")
+
+    rng = np.random.RandomState(0)
+    path = str(tmp_path / "train_insta.tfrecord")
+    n_frames = [3, 5]
+    truth = []
+    with tf.io.TFRecordWriter(path) as w:
+        for nf in n_frames:
+            xys = rng.randn(nf * 2 * 25).astype(np.float32)
+            vis = (rng.rand(nf * 25) > 0.3).astype(np.float32)
+            jpgs = [bytes([0xFF, 0xD8, i, 0x99]) * 7 for i in range(nf)]
+            big_ints = [0, 1, 127, 128, 300, 2 ** 31, 2 ** 40 + 3]
+            ex = tf.train.Example(features=tf.train.Features(feature={
+                "image/xys": tf.train.Feature(
+                    float_list=tf.train.FloatList(value=xys)),
+                "image/visibilities": tf.train.Feature(
+                    float_list=tf.train.FloatList(value=vis)),
+                "image_data": tf.train.Feature(
+                    bytes_list=tf.train.BytesList(value=jpgs)),
+                "meta/ints": tf.train.Feature(
+                    int64_list=tf.train.Int64List(value=big_ints)),
+            }))
+            w.write(ex.SerializeToString())
+            truth.append((xys, vis, jpgs, big_ints))
+
+    records = list(iter_tfrecord(path))
+    assert len(records) == len(n_frames)
+    for rec, (xys, vis, jpgs, big_ints) in zip(records, truth):
+        ex = parse_example(rec)
+        np.testing.assert_allclose(np.asarray(ex["image/xys"]), xys, rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(ex["image/visibilities"]), vis, rtol=1e-6)
+        assert ex["image_data"] == jpgs
+        assert ex["meta/ints"].tolist() == big_ints
+
+
+def test_insta_read_data_from_tensorflow_shard(tmp_path, monkeypatch):
+    """read_data end-to-end on a TF-written shard: joints reshaped to
+    (frames, 25, 3), converted to the spin keypoint set, paths/vid names per
+    record (reference insta_utils.py:103-407 semantics)."""
+    tf = pytest.importorskip("tensorflow")
+    from maed_tpu.data.preprocess.insta import read_data
+
+    rng = np.random.RandomState(1)
+    rec_dir = tmp_path / "recs"
+    rec_dir.mkdir()
+    path = str(rec_dir / "train_0.tfrecord")
+    nf = 4
+    xys = rng.rand(nf, 2, 25).astype(np.float32) * 100
+    vis = np.ones((nf, 25), np.float32)
+    with tf.io.TFRecordWriter(path) as w:
+        ex = tf.train.Example(features=tf.train.Features(feature={
+            "image/xys": tf.train.Feature(
+                float_list=tf.train.FloatList(value=xys.ravel())),
+            "image/visibilities": tf.train.Feature(
+                float_list=tf.train.FloatList(value=vis.ravel())),
+            "image_data": tf.train.Feature(
+                bytes_list=tf.train.BytesList(value=[b"j"] * nf)),
+        }))
+        w.write(ex.SerializeToString())
+
+    db = read_data(str(rec_dir), "/imgs", split="train")
+    assert len(db["img_name"]) == nf
+    assert db["joints2D"].shape == (nf, 49, 3)  # spin set
+    assert (db["vid_name"] == "train_0_0").all()
+    # the insta 25-joint xys land in the spin slots with visibilities intact
+    assert db["joints2D"][..., 2].max() == 1.0
