@@ -126,9 +126,18 @@ class VideoDataset:
                 target["bbox"] = bbox.astype(np.float32)
 
         image_paths = np.asarray(self.db["img_name"])[sample_idx]
-        images = [read_img(str(p)) for p in image_paths]
+        paths = [str(p) for p in image_paths]
+        if getattr(self.transforms, "wants_jpeg_bytes", False) and all(
+            p.lower().endswith((".jpg", ".jpeg")) for p in paths
+        ):
+            # hand raw JPEG bytes to the transform: decode happens inside the
+            # native C++ thread pool fused with the crop (see
+            # transforms.FusedCropNormalize / native.clip_decode_crop_normalize)
+            images = [open(p, "rb").read() for p in paths]
+        else:
+            images = [read_img(p) for p in paths]
         if not is_train:
-            target["paths"] = [str(p) for p in image_paths]
+            target["paths"] = paths
 
         raw = {
             "clip": images,

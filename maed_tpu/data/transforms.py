@@ -284,21 +284,59 @@ class FusedCropNormalize:
         self.h, self.w = height, width
         self._fallback = None
 
+    @property
+    def wants_jpeg_bytes(self) -> bool:
+        """The dataset may hand this transform RAW JPEG BYTES instead of
+        decoded frames: decode then runs inside the native thread pool
+        (C++ libjpeg), skipping the per-frame Python/cv2 decode entirely."""
+        from maed_tpu import native
+
+        return native.has_jpeg_decode()
+
     def __call__(self, inst, rng: np.random.RandomState):
         from maed_tpu import native
 
-        if "bbox" not in inst or not native.native_available():
-            if self._fallback is None:
-                self._fallback = Compose([
-                    CropVideo(self.h, self.w), StackNormalize(self.w),
-                ])
-            return self._fallback(inst, rng)
+        has_bytes = inst["clip"] and isinstance(inst["clip"][0], (bytes, bytearray))
+        if "bbox" not in inst or not native.native_available() or (
+            has_bytes and not native.has_jpeg_decode()
+        ):
+            if has_bytes:  # native decode vanished between read and here
+                import cv2
+
+                inst = dict(inst)
+                inst["clip"] = [
+                    cv2.cvtColor(
+                        cv2.imdecode(np.frombuffer(b, np.uint8), cv2.IMREAD_COLOR),
+                        cv2.COLOR_BGR2RGB)
+                    for b in inst["clip"]
+                ]
+                has_bytes = False
+            if "bbox" not in inst or not native.native_available():
+                if self._fallback is None:
+                    self._fallback = Compose([
+                        CropVideo(self.h, self.w), StackNormalize(self.w),
+                    ])
+                return self._fallback(inst, rng)
 
         trans = np.stack([
             gen_crop_trans(bbox, (1.3, 1.3), 0.0, (0.0, 0.0), self.w, self.h)
             for bbox in inst["bbox"]
         ])
-        clip = native.clip_crop_normalize(inst["clip"], trans, self.h, self.w)
+        if has_bytes:
+            clip = native.clip_decode_crop_normalize(
+                inst["clip"], trans, self.h, self.w)
+            if clip is None:  # corrupt frame: decode via cv2 and retry
+                import cv2
+
+                frames = [
+                    cv2.cvtColor(
+                        cv2.imdecode(np.frombuffer(b, np.uint8), cv2.IMREAD_COLOR),
+                        cv2.COLOR_BGR2RGB)
+                    for b in inst["clip"]
+                ]
+                clip = native.clip_crop_normalize(frames, trans, self.h, self.w)
+        else:
+            clip = native.clip_crop_normalize(inst["clip"], trans, self.h, self.w)
         out = dict(inst)
         out["clip"] = clip
         if "kp_2d" in inst:
@@ -313,6 +351,13 @@ class FusedCropNormalize:
 class Compose:
     def __init__(self, transforms):
         self.transforms = transforms
+
+    @property
+    def wants_jpeg_bytes(self) -> bool:
+        """A pipeline accepts raw JPEG bytes iff its FIRST stage does (the
+        stage that touches inst['clip'] first — see FusedCropNormalize)."""
+        return bool(self.transforms) and getattr(
+            self.transforms[0], "wants_jpeg_bytes", False)
 
     def __call__(self, inst, rng: Optional[np.random.RandomState] = None):
         rng = rng or np.random.RandomState()

@@ -176,10 +176,11 @@ class StAttention(nn.Module):
         assert self.st_mode in ST_MODES, self.st_mode
         self.qkv_p = _DenseParams(self.dim, self.dim * 3,
                                   use_bias=self.qkv_bias, name="qkv")
-        self.proj = nn.Dense(self.dim, dtype=self.dtype, name="proj")
+        self.proj_p = _DenseParams(self.dim, self.dim, name="proj")
         self.proj_dropout = nn.Dropout(self.proj_drop)
         if self.st_mode == "parallel":
-            self.ts_attn = nn.Dense(self.dim * 2, dtype=self.dtype, name="ts_attn")
+            # input is the concat of the two branch means: (2C) -> (2C)
+            self.ts_attn_p = _DenseParams(self.dim * 2, self.dim * 2, name="ts_attn")
 
     def _qkv_heads(self, x, ln=None):
         """Project to q, k, v and split heads WITHOUT transposing.
@@ -273,9 +274,19 @@ class StAttention(nn.Module):
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, to_tn(v))
         return out.reshape(BT, N, h * d)
 
-    def __call__(self, x, seqlen: int = 1, deterministic: bool = True, ln=None):
+    def _proj(self, y, deterministic):
+        kern, bias = self.proj_p()
+        y = jnp.dot(y.astype(self.dtype), kern.astype(self.dtype))
+        y = y + bias.astype(self.dtype)
+        return self.proj_dropout(y, deterministic=deterministic)
+
+    def __call__(self, x, seqlen: int = 1, deterministic: bool = True,
+                 ln=None, residual=None):
         """ln=(scale, bias): x is pre-norm and norm1 fuses into the qkv
-        projection; ln=None: x is already normalized (reference-style)."""
+        projection; ln=None: x is already normalized (reference-style).
+        residual (parallel mode only): the block input — gate + proj +
+        residual-add run as ONE pallas kernel and the summed block state is
+        returned (the caller must then skip its own residual add)."""
         BT, N, C = x.shape
 
         if self.st_mode in ("vanilla", "spatial"):
@@ -293,9 +304,20 @@ class StAttention(nn.Module):
             y = self._spatial(self._qkv_heads(x, ln), deterministic)
             y = self._temporal(self._qkv_heads(y), seqlen, deterministic)
         elif self.st_mode == "parallel":
+            from maed_tpu.ops.mlp import fused_gate_proj, use_fused_gate
+
             qkv = self._qkv_heads(x, ln)
             y_t = self._temporal(qkv, seqlen, deterministic)
             y_s = self._spatial(qkv, deterministic)
+            if residual is not None and use_fused_gate():
+                (k_ts, b_ts), (k_p, b_p) = self.ts_attn_p(), self.proj_p()
+                out, alpha = fused_gate_proj(
+                    y_s, y_t, residual.astype(self.dtype), k_ts, b_ts, k_p, b_p
+                )
+                # attention-weight accounting (the reference's count_attn
+                # hooks, vision_transformer.py:230-240)
+                self.sow("intermediates", "ts_gate", alpha)
+                return out
             # learned per-channel gate over the two branches. mean-then-concat
             # == concat-then-mean (reference concats the full (BT, N, 2C)
             # tensor first); reducing first keeps the concat at (BT, 1, 2C).
@@ -303,19 +325,17 @@ class StAttention(nn.Module):
                 [y_s.mean(axis=1, keepdims=True), y_t.mean(axis=1, keepdims=True)],
                 axis=-1,
             )
-            alpha = self.ts_attn(alpha).reshape(BT, 1, C, 2)
+            k_ts, b_ts = self.ts_attn_p()
+            alpha = jnp.dot(alpha.astype(self.dtype), k_ts.astype(self.dtype))
+            alpha = (alpha + b_ts.astype(self.dtype)).reshape(BT, 1, C, 2)
             alpha = jax.nn.softmax(alpha, axis=-1)
-            # attention-weight accounting (the reference's count_attn hooks,
-            # vision_transformer.py:230-240): collect via
-            # apply(..., mutable=['intermediates'])
             self.sow("intermediates", "ts_gate", alpha)
             y = y_t * alpha[..., 1] + y_s * alpha[..., 0]
         else:
             raise NotImplementedError(self.st_mode)
 
-        y = self.proj(y)
-        y = self.proj_dropout(y, deterministic=deterministic)
-        return y
+        y = self._proj(y, deterministic)
+        return y if residual is None else residual.astype(y.dtype) + y
 
 
 class Block(nn.Module):
@@ -349,11 +369,17 @@ class Block(nn.Module):
                        if use_pallas_layernorm()
                        else layernorm_reference(xd, ln1[0], ln1[1], 1e-6))
             ln_arg = None
-        attn_out = StAttention(
+        attn = StAttention(
             self.dim, self.num_heads, self.qkv_bias, self.attn_drop, self.drop,
             st_mode=self.st_mode, dtype=self.dtype, name="attn",
-        )(attn_in, seqlen, deterministic, ln=ln_arg)
-        x = x + DropPath(self.drop_path, name="drop_path1")(attn_out, deterministic)
+        )
+        stochastic1 = not deterministic and (self.drop > 0.0 or self.drop_path > 0.0)
+        if self.st_mode == "parallel" and not stochastic1:
+            # gate + proj + residual fuse into one kernel inside StAttention
+            x = attn(attn_in, seqlen, deterministic, ln=ln_arg, residual=x)
+        else:
+            attn_out = attn(attn_in, seqlen, deterministic, ln=ln_arg)
+            x = x + DropPath(self.drop_path, name="drop_path1")(attn_out, deterministic)
 
         # MLP half: params live at the same paths as the modular
         # norm2/Mlp(fc1, fc2) layout; the compute goes through ONE fused
@@ -364,9 +390,11 @@ class Block(nn.Module):
             self.dim, int(self.dim * self.mlp_ratio), name="mlp")()
         from maed_tpu.ops.mlp import fused_ln_mlp, ln_mlp_reference, use_fused_mlp
 
-        stochastic = not deterministic and (self.drop > 0.0 or self.drop_path > 0.0)
         x = x.astype(self.dtype)
-        if use_fused_mlp() and not stochastic:
+        # fused kernel in eval only: its custom VJP recomputes the forward
+        # in the backward pass, so for training XLA's stored-intermediate
+        # differentiation of the plain formulation is cheaper
+        if use_fused_mlp() and deterministic:
             return fused_ln_mlp(x, ln_s, ln_b, w1, b1, w2, b2, 1e-6)
         y = layernorm_reference_local(x, ln_s, ln_b)
         y = jnp.dot(y, w1.astype(self.dtype)) + b1.astype(self.dtype)

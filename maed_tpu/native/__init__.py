@@ -43,12 +43,75 @@ def _load():
         ctypes.c_int,                                     # n_threads
     ]
     lib.clip_crop_normalize.restype = None
+    lib.has_jpeg_decode.argtypes = []
+    lib.has_jpeg_decode.restype = ctypes.c_int
+    lib.clip_decode_crop_normalize.argtypes = [
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),  # jpeg buffers
+        ctypes.POINTER(ctypes.c_int64),                   # byte lengths
+        ctypes.c_int,                                     # T
+        ctypes.POINTER(ctypes.c_double),                  # inv_trans
+        ctypes.c_int, ctypes.c_int,                       # out_h, out_w
+        ctypes.POINTER(ctypes.c_float),                   # out
+        ctypes.c_int,                                     # n_threads
+    ]
+    lib.clip_decode_crop_normalize.restype = ctypes.c_int
     _lib = lib
     return lib
 
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def has_jpeg_decode() -> bool:
+    """True when the native build links libjpeg (threaded decode path)."""
+    lib = _load()
+    try:
+        return bool(lib is not None and lib.has_jpeg_decode())
+    except AttributeError:  # stale pre-jpeg .so on disk
+        return False
+
+
+def _inv_affines(trans):
+    T = len(trans)
+    inv = np.zeros((T, 6), np.float64)
+    for i, m in enumerate(np.asarray(trans, np.float64)):
+        full = np.vstack([m, [0, 0, 1]])
+        inv[i] = np.linalg.inv(full)[:2].ravel()
+    return inv
+
+
+def clip_decode_crop_normalize(jpegs, trans, out_h: int, out_w: int,
+                               n_threads: int = 0) -> np.ndarray | None:
+    """Threaded JPEG decode + fused affine-crop + ImageNet-normalize.
+
+    jpegs: list of T encoded JPEG byte strings. trans: (T, 2, 3) forward
+    affines (cv2.warpAffine convention). Returns (T, out_h, out_w, 3)
+    float32, or None when the native decode path is unavailable or any
+    frame is corrupt (caller falls back to the cv2 path).
+    """
+    lib = _load()
+    if lib is None or not has_jpeg_decode():
+        return None
+
+    T = len(jpegs)
+    bufs = [np.frombuffer(j, np.uint8) for j in jpegs]
+    ptrs = (ctypes.POINTER(ctypes.c_uint8) * T)(
+        *[b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) for b in bufs]
+    )
+    lens = np.array([len(j) for j in jpegs], np.int64)
+    inv = _inv_affines(trans)
+    out = np.empty((T, out_h, out_w, 3), np.float32)
+    rc = lib.clip_decode_crop_normalize(
+        ptrs,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        T,
+        inv.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        out_h, out_w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_threads,
+    )
+    return out if rc == 0 else None
 
 
 def clip_crop_normalize(frames, trans, out_h: int, out_w: int,
@@ -71,13 +134,7 @@ def clip_crop_normalize(frames, trans, out_h: int, out_w: int,
         *[f.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) for f in frames]
     )
     src_hw = np.array([[f.shape[0], f.shape[1]] for f in frames], np.int32)
-
-    inv = np.zeros((T, 6), np.float64)
-    for i, m in enumerate(np.asarray(trans, np.float64)):
-        full = np.vstack([m, [0, 0, 1]])
-        iv = np.linalg.inv(full)
-        inv[i] = iv[:2].ravel()
-
+    inv = _inv_affines(trans)
     out = np.empty((T, out_h, out_w, 3), np.float32)
     lib.clip_crop_normalize(
         ptrs,

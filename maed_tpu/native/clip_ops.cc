@@ -11,10 +11,16 @@
 #include <algorithm>
 #include <atomic>
 #include <cmath>
+#include <csetjmp>
 #include <cstdint>
 #include <cstring>
 #include <thread>
 #include <vector>
+
+#ifdef HAVE_LIBJPEG
+#include <cstdio>
+#include <jpeglib.h>
+#endif
 
 namespace {
 
@@ -119,6 +125,49 @@ inline void process_frame(const FrameTask& t, int out_h, int out_w) {
   }
 }
 
+#ifdef HAVE_LIBJPEG
+
+struct JpegErr {
+  jpeg_error_mgr pub;
+  std::jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  auto* e = reinterpret_cast<JpegErr*>(cinfo->err);
+  std::longjmp(e->jb, 1);
+}
+
+// Decode a JPEG byte buffer to RGB; returns false on corrupt input.
+bool decode_jpeg(const uint8_t* buf, size_t len, std::vector<uint8_t>& out,
+                 int* h, int* w) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *w = static_cast<int>(cinfo.output_width);
+  *h = static_cast<int>(cinfo.output_height);
+  out.resize(static_cast<size_t>(*w) * *h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out.data() +
+                   static_cast<size_t>(cinfo.output_scanline) * *w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+#endif  // HAVE_LIBJPEG
+
 }  // namespace
 
 extern "C" {
@@ -158,6 +207,68 @@ void clip_crop_normalize(const uint8_t** frames, const int* src_hw, int T,
   pool.reserve(n_threads);
   for (int i = 0; i < n_threads; ++i) pool.emplace_back(worker);
   for (auto& th : pool) th.join();
+}
+
+// 1 when this build can decode JPEGs natively (libjpeg linked in).
+int has_jpeg_decode() {
+#ifdef HAVE_LIBJPEG
+  return 1;
+#else
+  return 0;
+#endif
+}
+
+// Threaded JPEG-decode + fused crop/normalize: the full host input pipeline
+// for a clip in one native call (the reference's cv2.imread + warpAffine +
+// ToTensor + Normalize chain). jpegs: T pointers to encoded buffers with
+// byte lengths jpeg_lens. Returns 0 on success, -1 if built without
+// libjpeg, -2 if any frame failed to decode.
+int clip_decode_crop_normalize(const uint8_t** jpegs, const int64_t* jpeg_lens,
+                               int T, const double* inv_trans, int out_h,
+                               int out_w, float* out, int n_threads) {
+#ifndef HAVE_LIBJPEG
+  (void)jpegs; (void)jpeg_lens; (void)T; (void)inv_trans; (void)out_h;
+  (void)out_w; (void)out; (void)n_threads;
+  return -1;
+#else
+  if (n_threads <= 0) {
+    n_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  if (n_threads > T) n_threads = T;
+
+  std::atomic<int> next(0);
+  std::atomic<int> failed(0);
+  auto worker = [&]() {
+    std::vector<uint8_t> pixels;  // reused per thread
+    int i;
+    while ((i = next.fetch_add(1)) < T) {
+      int h = 0, w = 0;
+      if (!decode_jpeg(jpegs[i], static_cast<size_t>(jpeg_lens[i]), pixels,
+                       &h, &w)) {
+        failed.store(1);
+        continue;
+      }
+      FrameTask task;
+      task.src = pixels.data();
+      task.src_h = h;
+      task.src_w = w;
+      task.inv = inv_trans + i * 6;
+      task.dst = out + static_cast<size_t>(i) * out_h * out_w * 3;
+      process_frame(task, out_h, out_w);
+    }
+  };
+
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(n_threads);
+    for (int i = 0; i < n_threads; ++i) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return failed.load() ? -2 : 0;
+#endif
 }
 
 }  // extern "C"

@@ -7,8 +7,9 @@ keeps T in VMEM: each grid instance loads a vertex block of the skinning
 weights + rest vertices and one frame's joint transforms, computes
 T_blk = W_blk @ A (one MXU matmul) and applies it in-register.
 
-Opt-in (MAED_PALLAS_LBS=1) like the attention kernels; the XLA path remains
-the default. Validated in interpret mode on CPU and natively on TPU.
+Default ON on TPU since round 2 (7% measured win, train-safe custom VJP);
+MAED_PALLAS_LBS=0 reverts to the XLA path, which also remains the CPU
+default. Validated in interpret mode on CPU and natively on TPU.
 """
 
 from __future__ import annotations
@@ -81,9 +82,18 @@ def skinning(v_posed: jnp.ndarray, lbs_weights: jnp.ndarray,
 
 
 def pallas_lbs_enabled() -> bool:
+    """Default ON on TPU (measured 7% faster than the XLA skinning on v5e,
+    train-safe via the custom VJP, soak-tested vs f32 in
+    test_train.py/test_smpl_pallas.py). MAED_PALLAS_LBS=0/1 overrides; CPU
+    stays on the XLA path (the kernel would run interpreted)."""
     import os
 
-    return _HAS_PALLAS and os.environ.get("MAED_PALLAS_LBS", "0") == "1"
+    if not _HAS_PALLAS:
+        return False
+    flag = os.environ.get("MAED_PALLAS_LBS")
+    if flag is not None:
+        return flag == "1"
+    return jax.default_backend() == "tpu"
 
 
 # ---------------------------------------------------------------------------

@@ -302,3 +302,60 @@ def test_concat_dataset(video_db, image_db):
     assert len(cat) == len(d1) + len(d2)
     item = cat.__getitem__(len(d1))  # first item of d2
     assert item["images"].shape[0] == 2
+
+
+def test_native_jpeg_decode_crop_matches_cv2_path(tmp_path):
+    """The C++ threaded JPEG-decode + crop pipeline == cv2-decode + native
+    crop, within JPEG-decoder IDCT tolerance (libjpeg vs cv2's decoder can
+    differ by a couple of 8-bit LSBs per pixel)."""
+    import cv2
+
+    from maed_tpu import native
+    from maed_tpu.data.transforms import FusedCropNormalize
+
+    if not (native.native_available() and native.has_jpeg_decode()):
+        pytest.skip("native jpeg decode unavailable")
+
+    rng = np.random.RandomState(0)
+    T = 4
+    frames, blobs = [], []
+    for _ in range(T):
+        img = rng.randint(0, 255, (90, 120, 3), np.uint8)
+        img = cv2.GaussianBlur(img, (5, 5), 2)  # compress-friendly content
+        ok, enc = cv2.imencode(".jpg", cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+                               [cv2.IMWRITE_JPEG_QUALITY, 95])
+        assert ok
+        blob = enc.tobytes()
+        dec = cv2.cvtColor(
+            cv2.imdecode(np.frombuffer(blob, np.uint8), cv2.IMREAD_COLOR),
+            cv2.COLOR_BGR2RGB)
+        frames.append(dec)
+        blobs.append(blob)
+    bbox = np.tile(np.array([60.0, 45.0, 50.0, 50.0], np.float32), (T, 1))
+    kp = rng.rand(T, 49, 3).astype(np.float32) * 50
+
+    tf = FusedCropNormalize(64, 64)
+    r = np.random.RandomState(0)
+    out_bytes = tf({"clip": blobs, "bbox": bbox, "kp_2d": kp.copy()}, r)
+    out_arrays = tf({"clip": frames, "bbox": bbox, "kp_2d": kp.copy()}, r)
+    assert out_bytes["clip"].shape == (T, 64, 64, 3)
+    # 3 uint8 LSBs in normalized units ~= 3/255/0.225
+    np.testing.assert_allclose(out_bytes["clip"], out_arrays["clip"], atol=0.06)
+    np.testing.assert_allclose(out_bytes["kp_2d"], out_arrays["kp_2d"])
+
+
+def test_video_dataset_eval_uses_jpeg_bytes_path(video_db):
+    """End-to-end: the eval pipeline feeds raw JPEG bytes from disk to the
+    native decoder (wants_jpeg_bytes plumbing through Compose/VideoDataset)."""
+    from maed_tpu import native
+
+    if not (native.native_available() and native.has_jpeg_decode()):
+        pytest.skip("native jpeg decode unavailable")
+
+    tf = build_eval_transforms(32, 32)
+    assert tf.wants_jpeg_bytes
+    ds = VideoDataset("testds", "test", tf, seqlen=4, sample_pool=4,
+                      overlap=0, random_sample=False, db=video_db, verbose=False)
+    item = ds.__getitem__(0, rng=np.random.RandomState(0))
+    assert item["images"].shape == (4, 32, 32, 3)
+    assert np.isfinite(item["images"]).all()

@@ -128,7 +128,27 @@ def test_block_fused_path_matches_modular(monkeypatch):
 
     monkeypatch.setattr(mlp_mod, "_INTERPRET", True)
     monkeypatch.setenv("MAED_FUSED_MLP", "1")
+    monkeypatch.setenv("MAED_FUSED_GATE", "1")
     fused = blk.apply(params, x, 3, True)
     monkeypatch.setenv("MAED_FUSED_MLP", "0")
+    monkeypatch.setenv("MAED_FUSED_GATE", "0")
     plain = blk.apply(params, x, 3, True)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(plain), atol=1e-4)
+
+
+def test_fused_gate_proj_matches_reference():
+    from maed_tpu.ops.mlp import fused_gate_proj, gate_proj_reference
+
+    rng = np.random.RandomState(9)
+    BT, N, C = 6, 9, 64
+    ys = jnp.asarray(rng.randn(BT, N, C).astype(np.float32))
+    yt = jnp.asarray(rng.randn(BT, N, C).astype(np.float32))
+    xr = jnp.asarray(rng.randn(BT, N, C).astype(np.float32))
+    wts = jnp.asarray((rng.randn(2 * C, 2 * C) * 0.1).astype(np.float32))
+    bts = jnp.asarray(rng.randn(2 * C).astype(np.float32) * 0.1)
+    wp = jnp.asarray((rng.randn(C, C) * 0.1).astype(np.float32))
+    bp = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+    got, a_got = fused_gate_proj(ys, yt, xr, wts, bts, wp, bp)
+    want, a_want = gate_proj_reference(ys, yt, xr, wts, bts, wp, bp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a_got), np.asarray(a_want), atol=1e-5)

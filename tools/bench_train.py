@@ -1,0 +1,92 @@
+"""Benchmark the full stage-2 train step on the real chip.
+
+Composition mirrors the reference's per-GPU stage-2 recipe (train.py /
+configs/config_stage2.yaml): 3 2D-video + 4 3D-video clips of 16 frames plus
+7 images per step — both forwards, weighted loss, backward, Adam update in
+one executable. Prints ms/step and frames/s.
+
+Usage: python tools/bench_train.py [--remat] [--dtype bf16|f32]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="bf16")
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from maed_tpu.core.loss import LossWeights
+    from maed_tpu.models import MAED
+    from maed_tpu.parallel.train_step import (
+        init_train_state, make_optimizer, make_train_step,
+    )
+    from maed_tpu.utils.smpl_io import find_smpl_model
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    model = MAED(encoder="ste", num_blocks=6, num_heads=12, st_mode="parallel",
+                 decoder="ktd", hidden_dim=1024, remat=args.remat, dtype=dtype)
+    smpl = find_smpl_model()
+
+    class _O:
+        LR, WD, WARMUP_EPOCH, WARMUP_FACTOR, MILESTONES = 5e-5, 0.0, 2, 0.1, [30]
+        OPTIM, MOMENTUM = "adam", 0.9
+
+    tx = make_optimizer(_O(), steps_per_epoch=500)
+    rng = np.random.RandomState(0)
+    n2d, n3d, nimg, T = 3, 4, 7, 16
+    vid = {
+        "images": jnp.asarray(rng.randn(n2d + n3d, T, 224, 224, 3).astype(np.float32)),
+        "target_2d": {"kp_2d": jnp.asarray(rng.rand(n2d, T, 49, 3).astype(np.float32))},
+        "target_3d": {
+            "kp_2d": jnp.asarray(rng.rand(n3d, T, 49, 3).astype(np.float32)),
+            "kp_3d": jnp.asarray(rng.rand(n3d, T, 49, 4).astype(np.float32)),
+            "theta": jnp.asarray(rng.rand(n3d, T, 85).astype(np.float32)),
+            "w_smpl": jnp.ones((n3d, T), np.float32),
+        },
+    }
+    img = {
+        "image": jnp.asarray(rng.randn(nimg, 224, 224, 3).astype(np.float32)),
+        "kp_2d": jnp.asarray(rng.rand(nimg, 49, 3).astype(np.float32)),
+        "kp_3d": jnp.asarray(rng.rand(nimg, 49, 4).astype(np.float32)),
+        "theta": jnp.asarray(rng.rand(nimg, 85).astype(np.float32)),
+        "w_smpl": jnp.ones((nimg,), np.float32),
+    }
+    state = init_train_state(model, tx, vid["images"][:1, :2], smpl,
+                             jax.random.PRNGKey(0))
+    step = make_train_step(model, tx, smpl, LossWeights(), donate=False)
+
+    print(f"device={jax.devices()[0]} dtype={dtype.__name__} remat={args.remat}",
+          file=sys.stderr)
+    state, metrics = step(state, vid, img)
+    _ = float(np.asarray(metrics["loss"]))
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, metrics = step(state, vid, img)
+    _ = float(np.asarray(metrics["loss"]))
+    dt = (time.perf_counter() - t0) / args.iters
+    frames = (n2d + n3d) * T + nimg
+    print(f"train step {dt * 1e3:.1f} ms -> {frames / dt:.0f} frames/s "
+          f"(loss {float(np.asarray(metrics['loss'])):.3f})")
+
+
+if __name__ == "__main__":
+    main()
