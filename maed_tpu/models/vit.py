@@ -393,8 +393,12 @@ class Block(nn.Module):
         x = x.astype(self.dtype)
         # fused kernel in eval only: its custom VJP recomputes the forward
         # in the backward pass, so for training XLA's stored-intermediate
-        # differentiation of the plain formulation is cheaper
-        if use_fused_mlp() and deterministic:
+        # differentiation of the plain formulation is cheaper. Both weight
+        # matrices must stay VMEM-resident: at f32 they alone are 18.9 MB
+        # (> the 16 MB scoped-vmem budget), so the kernel is bf16-only.
+        hidden = int(self.dim * self.mlp_ratio)
+        w_bytes = 2 * self.dim * hidden * jnp.dtype(self.dtype).itemsize
+        if use_fused_mlp() and deterministic and w_bytes <= 12 * 2 ** 20:
             return fused_ln_mlp(x, ln_s, ln_b, w1, b1, w2, b2, 1e-6)
         y = layernorm_reference_local(x, ln_s, ln_b)
         y = jnp.dot(y, w1.astype(self.dtype)) + b1.astype(self.dtype)
