@@ -388,7 +388,7 @@ class Block(nn.Module):
         ln_s, ln_b = _LNParams(self.dim, name="norm2")()
         (w1, b1), (w2, b2) = _MlpParams(
             self.dim, int(self.dim * self.mlp_ratio), name="mlp")()
-        from maed_tpu.ops.mlp import fused_ln_mlp, ln_mlp_reference, use_fused_mlp
+        from maed_tpu.ops.mlp import fused_ln_mlp, use_fused_mlp
 
         x = x.astype(self.dtype)
         # fused kernel in eval only: its custom VJP recomputes the forward
@@ -400,7 +400,9 @@ class Block(nn.Module):
         w_bytes = 2 * self.dim * hidden * jnp.dtype(self.dtype).itemsize
         if use_fused_mlp() and deterministic and w_bytes <= 12 * 2 ** 20:
             return fused_ln_mlp(x, ln_s, ln_b, w1, b1, w2, b2, 1e-6)
-        y = layernorm_reference_local(x, ln_s, ln_b)
+        from maed_tpu.ops.layernorm import layernorm_reference
+
+        y = layernorm_reference(x, ln_s, ln_b, 1e-6)
         y = jnp.dot(y, w1.astype(self.dtype)) + b1.astype(self.dtype)
         y = nn.gelu(y, approximate=False)
         y = nn.Dropout(self.drop)(y, deterministic=deterministic)
@@ -408,11 +410,6 @@ class Block(nn.Module):
         y = nn.Dropout(self.drop)(y, deterministic=deterministic)
         return x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
 
-
-def layernorm_reference_local(x, scale, bias, eps=1e-6):
-    from maed_tpu.ops.layernorm import layernorm_reference
-
-    return layernorm_reference(x, scale, bias, eps)
 
 
 class HybridEmbed(nn.Module):
