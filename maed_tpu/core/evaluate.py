@@ -87,6 +87,7 @@ class Evaluator:
         J_regressor: Optional[np.ndarray] = None,
         batch_size: Optional[int] = None,
         verbose: bool = True,
+        mesh=None,
     ):
         self.accumulators = defaultdict(list)
         if J_regressor is None:
@@ -95,6 +96,16 @@ class Evaluator:
         jreg_dev = None if J_regressor is None else jnp.asarray(J_regressor)
 
         jit_fwd = jax.jit(lambda imgs: apply_fn(imgs, jreg_dev))
+
+        def to_device(inp):
+            # with a mesh, dp-shard the clip batch so validation-during-
+            # training uses every chip (the reference validated on one GPU;
+            # GSPMD keeps the forward sharded end-to-end here)
+            if mesh is not None:
+                from maed_tpu.parallel.mesh import shard_batch
+
+                return shard_batch({"images": inp}, mesh)["images"]
+            return jnp.asarray(inp)
 
         start = time.time()
         n_batches = 0
@@ -120,7 +131,7 @@ class Evaluator:
             per_clip = defaultdict(list)
             for i in range(sample_freq):
                 inp = images[:, ::interp][:, i::sample_freq]
-                preds = jit_fwd(jnp.asarray(inp))
+                preds = jit_fwd(to_device(inp))
                 preds = jax.tree.map(np.asarray, preds)
                 if pad_n:
                     preds = jax.tree.map(lambda a: a[:N], preds)
@@ -244,10 +255,11 @@ class Evaluator:
         print(desc + " ".join(f"{k.upper()}: {v:.4f}," for k, v in eval_dict.items()))
 
     def run(self, apply_fn, dataloader, seqlen=16, interp=1, dataset_name="3dpw",
-            J_regressor=None, save_path="", verbose=True, batch_size=None):
+            J_regressor=None, save_path="", verbose=True, batch_size=None,
+            mesh=None):
         self.inference(apply_fn, dataloader, seqlen=seqlen, interp=interp,
                        dataset_name=dataset_name, J_regressor=J_regressor,
-                       batch_size=batch_size, verbose=verbose)
+                       batch_size=batch_size, verbose=verbose, mesh=mesh)
         eval_dict, num_pred = self.evaluate(save_path)
         eval_dict, num_pred = self.sync_metrics(eval_dict, num_pred)
         if verbose:

@@ -183,6 +183,7 @@ class Trainer:
             dataset_name=self.cfg.TRAIN.DATASET_EVAL.lower().replace("threedpw", "3dpw"),
             batch_size=self.cfg.EVAL.BATCH_SIZE,
             verbose=self.rank == 0,
+            mesh=self.mesh,
         )
         if self.writer is not None and self.rank == 0:
             for k, v in eval_dict.items():

@@ -194,3 +194,22 @@ def test_eval_metrics_invisible_joint_select_semantics():
     # select semantics: error mass / 13; fixed-K would divide by 14
     ratio = float(np.mean(md2["mpjpe"])) / float(np.mean(md2_all["mpjpe"]))
     assert ratio == pytest.approx(14.0 / 13.0, rel=1e-4)
+
+
+def test_evaluator_dp_sharded_matches_unsharded():
+    """Evaluator.run with a dp mesh (validation-during-training on all
+    chips) must reproduce the unsharded inference bit-for-bit."""
+    from maed_tpu.parallel.mesh import make_mesh
+
+    model = synthetic_smpl_model(num_verts=10)
+    ev_plain = Evaluator(model)
+    ev_plain.inference(fake_apply, FakeLoader(pool=16), seqlen=4, interp=1,
+                       dataset_name="testset", verbose=False)
+    mesh = make_mesh(dp=4, tp=2)
+    ev_mesh = Evaluator(model)
+    ev_mesh.inference(fake_apply, FakeLoader(pool=16), seqlen=4, interp=1,
+                      dataset_name="testset", verbose=False, mesh=mesh)
+    for k in ev_plain.accumulators:
+        a = np.concatenate(ev_plain.accumulators[k], axis=0)
+        b = np.concatenate(ev_mesh.accumulators[k], axis=0)
+        np.testing.assert_array_equal(a, b)
