@@ -61,14 +61,13 @@ def main():
     iters = max(3, int(10.0 / max(warm, 1e-3)))
     iters = min(iters, 50)
 
+    from maed_tpu.utils.timing import fetch_sync
+
     def measure():
         t0 = time.time()
         for _ in range(iters):
             out = fwd(variables, x)
-        # block_until_ready can return early over the axon tunnel; a scalar
-        # fetch of the last output cannot (device execution is serialized)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        _ = np.asarray(leaf[(0,) * leaf.ndim])
+        fetch_sync(out)  # block_until_ready can return early over the tunnel
         return batch * iters / (time.time() - t0)
 
     # two passes, report the steady-state (max) — the first pass after an

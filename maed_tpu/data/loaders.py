@@ -46,6 +46,25 @@ def collate(samples):
     return out
 
 
+def _worker_main(loader, idxs, out_q, consumed, worker_id, nb, nw, window):
+    """Loader worker body (module-level so spawn/forkserver contexts can
+    pickle it). Produces batches b = worker_id, worker_id+nw, ... pausing
+    whenever it runs more than `window` batches ahead of the consumer."""
+    import time as _time
+
+    try:
+        for b in range(worker_id, nb, nw):
+            while b - consumed.value > window:
+                _time.sleep(0.005)
+            batch = loader._make_batch(idxs, b)
+            if batch is None:
+                break
+            out_q.put((b, batch))
+        out_q.put((None, worker_id))
+    except BaseException as e:
+        out_q.put((-1, f"{type(e).__name__}: {e}"))
+
+
 class ShardedLoader:
     """Iterates a dataset in batches over this host's shard of the indices.
 
@@ -122,55 +141,74 @@ class ShardedLoader:
                 return
             yield batch
 
-    def _iter_workers(self):
+    def _iter_workers(self, stall_timeout: float = 600.0):
         """Multi-process fetch: worker w produces batches b with
         b % num_workers == w (torch DataLoader's round-robin assignment,
         /root/reference/lib/dataset/loaders.py:61-133 via NUM_WORKERS);
         the consumer reorders so batch order is identical to num_workers=0.
         Fork start: workers inherit the in-memory DB copy-on-write instead
-        of pickling it."""
-        import multiprocessing as mp
+        of pickling it (MAED_LOADER_MP=spawn/forkserver overrides when the
+        parent holds fork-hostile state, e.g. a live accelerator client).
 
-        ctx = mp.get_context("fork")
+        A shared progress counter caps worker lookahead at 2*num_workers
+        batches past the consumer, so one slow worker cannot make the
+        reorder buffer grow without bound; a consumer watchdog raises after
+        `stall_timeout` seconds without progress (a forked child deadlocked
+        on an inherited lock presents as alive-but-silent)."""
+        import multiprocessing as mp
+        import os
+        import time as _time
+
+        ctx = mp.get_context(os.environ.get("MAED_LOADER_MP", "fork"))
         nb = len(self)
         nw = min(self.num_workers, max(nb, 1))
         out_q = ctx.Queue(maxsize=max(2 * nw, 4))
+        consumed = ctx.Value("l", 0)  # next_b, visible to workers
         idxs = self._shard_indices()
+        window = 2 * nw
 
-        def work(worker_id):
-            try:
-                for b in range(worker_id, nb, nw):
-                    batch = self._make_batch(idxs, b)
-                    if batch is None:
-                        break
-                    out_q.put((b, batch))
-                out_q.put((None, worker_id))
-            except BaseException as e:
-                out_q.put((-1, f"{type(e).__name__}: {e}"))
-
-        procs = [ctx.Process(target=work, args=(w,), daemon=True) for w in range(nw)]
+        procs = [
+            ctx.Process(
+                target=_worker_main,
+                args=(self, idxs, out_q, consumed, w, nb, nw, window),
+                daemon=True,
+            )
+            for w in range(nw)
+        ]
         for p in procs:
             p.start()
         try:
             pending = {}
             done_workers = 0
             next_b = 0
+            last_progress = _time.monotonic()
             while done_workers < nw or pending:
                 if next_b in pending:
                     yield pending.pop(next_b)
                     next_b += 1
+                    with consumed.get_lock():
+                        consumed.value = next_b
+                    last_progress = _time.monotonic()
                     continue
                 if done_workers == nw:
                     break  # remaining batches were dropped (drop_last)
                 try:
-                    b, payload = out_q.get(timeout=60)
+                    b, payload = out_q.get(timeout=30)
                 except queue.Empty:
                     if not any(p.is_alive() for p in procs):
                         raise RuntimeError(
                             "all loader workers died without a sentinel "
                             "(killed? OOM?)"
                         )
+                    if _time.monotonic() - last_progress > stall_timeout:
+                        raise RuntimeError(
+                            f"loader stalled: no batch for {stall_timeout:.0f}s "
+                            f"while waiting for batch {next_b} (a worker may "
+                            "have deadlocked after fork — try "
+                            "MAED_LOADER_MP=forkserver)"
+                        )
                     continue
+                last_progress = _time.monotonic()
                 if b is None:
                     done_workers += 1
                 elif b == -1:

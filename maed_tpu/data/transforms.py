@@ -275,6 +275,17 @@ class StackNormalize:
         return out
 
 
+def _decode_jpeg_cv2(blob, idx):
+    """cv2 fallback decode for one raw-JPEG clip frame; raises IOError with
+    the frame index on corrupt input (cv2.imdecode returns None silently)."""
+    import cv2
+
+    img = cv2.imdecode(np.frombuffer(blob, np.uint8), cv2.IMREAD_COLOR)
+    if img is None:
+        raise IOError(f"JPEG decode failed for clip frame {idx}")
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
 class FusedCropNormalize:
     """Native (C++) fused affine-crop + ImageNet-normalize for the eval path
     (no intermediate augmentations between crop and normalize). Falls back to
@@ -301,14 +312,9 @@ class FusedCropNormalize:
             has_bytes and not native.has_jpeg_decode()
         ):
             if has_bytes:  # native decode vanished between read and here
-                import cv2
-
                 inst = dict(inst)
                 inst["clip"] = [
-                    cv2.cvtColor(
-                        cv2.imdecode(np.frombuffer(b, np.uint8), cv2.IMREAD_COLOR),
-                        cv2.COLOR_BGR2RGB)
-                    for b in inst["clip"]
+                    _decode_jpeg_cv2(b, i) for i, b in enumerate(inst["clip"])
                 ]
                 has_bytes = False
             if "bbox" not in inst or not native.native_available():
@@ -326,13 +332,8 @@ class FusedCropNormalize:
             clip = native.clip_decode_crop_normalize(
                 inst["clip"], trans, self.h, self.w)
             if clip is None:  # corrupt frame: decode via cv2 and retry
-                import cv2
-
                 frames = [
-                    cv2.cvtColor(
-                        cv2.imdecode(np.frombuffer(b, np.uint8), cv2.IMREAD_COLOR),
-                        cv2.COLOR_BGR2RGB)
-                    for b in inst["clip"]
+                    _decode_jpeg_cv2(b, i) for i, b in enumerate(inst["clip"])
                 ]
                 clip = native.clip_crop_normalize(frames, trans, self.h, self.w)
         else:

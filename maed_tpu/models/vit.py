@@ -72,17 +72,12 @@ class FastLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from maed_tpu.ops.layernorm import (
-            fast_layernorm, layernorm_reference, use_pallas_layernorm,
-        )
+        from maed_tpu.ops.layernorm import apply_layernorm
 
         C = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
-        x = x.astype(self.dtype)
-        if use_pallas_layernorm():
-            return fast_layernorm(x, scale, bias, self.epsilon)
-        return layernorm_reference(x, scale, bias, self.epsilon)
+        return apply_layernorm(x.astype(self.dtype), scale, bias, self.epsilon)
 
 
 class Mlp(nn.Module):
@@ -209,9 +204,9 @@ class StAttention(nn.Module):
             y = fused_ln_dense(x, ln[0], ln[1], kern, b)
         else:
             if ln is not None:
-                from maed_tpu.ops.layernorm import layernorm_reference
+                from maed_tpu.ops.layernorm import apply_layernorm
 
-                x = layernorm_reference(x, ln[0], ln[1], 1e-6)
+                x = apply_layernorm(x, ln[0], ln[1])
             y = jnp.dot(x, kern.astype(self.dtype))
             if bias is not None:
                 y = y + bias.astype(self.dtype)
@@ -293,9 +288,9 @@ class StAttention(nn.Module):
             y = self._spatial(self._qkv_heads(x, ln), deterministic)
         elif self.st_mode == "temporal":
             if ln is not None:
-                from maed_tpu.ops.layernorm import layernorm_reference
+                from maed_tpu.ops.layernorm import apply_layernorm
 
-                x = layernorm_reference(x.astype(self.dtype), ln[0], ln[1], 1e-6)
+                x = apply_layernorm(x.astype(self.dtype), ln[0], ln[1])
             xm = x.mean(axis=1, keepdims=True)  # (BT, 1, C)
             y = self._temporal(self._qkv_heads(xm), seqlen, deterministic)
         elif self.st_mode == "coupling":
@@ -360,14 +355,9 @@ class Block(nn.Module):
         if os.environ.get("MAED_FUSED_QKV", "0") == "1":
             attn_in, ln_arg = x, ln1
         else:
-            from maed_tpu.ops.layernorm import (
-                fast_layernorm, layernorm_reference, use_pallas_layernorm,
-            )
+            from maed_tpu.ops.layernorm import apply_layernorm
 
-            xd = x.astype(self.dtype)
-            attn_in = (fast_layernorm(xd, ln1[0], ln1[1], 1e-6)
-                       if use_pallas_layernorm()
-                       else layernorm_reference(xd, ln1[0], ln1[1], 1e-6))
+            attn_in = apply_layernorm(x.astype(self.dtype), ln1[0], ln1[1])
             ln_arg = None
         attn = StAttention(
             self.dim, self.num_heads, self.qkv_bias, self.attn_drop, self.drop,

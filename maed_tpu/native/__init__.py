@@ -19,20 +19,21 @@ _LIB_PATH = osp.join(_HERE, "libclip_ops.so")
 _lib = None
 
 
-def _load():
-    global _lib
-    if _lib is not None:
-        return _lib
-    if not osp.isfile(_LIB_PATH):
-        try:
-            subprocess.run(["sh", osp.join(_HERE, "build.sh")], check=True,
-                           capture_output=True)
-        except Exception:
-            return None
+_has_jpeg = False
+
+
+def _build():
     try:
-        lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
-        return None
+        subprocess.run(["sh", osp.join(_HERE, "build.sh")], check=True,
+                       capture_output=True)
+        return True
+    except Exception:
+        return False
+
+
+def _bind(lib):
+    """Attach signatures. Returns has_jpeg; raises AttributeError if even the
+    base symbol is missing (not our library)."""
     lib.clip_crop_normalize.argtypes = [
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),  # frames
         ctypes.POINTER(ctypes.c_int),                     # src_hw
@@ -43,19 +44,47 @@ def _load():
         ctypes.c_int,                                     # n_threads
     ]
     lib.clip_crop_normalize.restype = None
-    lib.has_jpeg_decode.argtypes = []
-    lib.has_jpeg_decode.restype = ctypes.c_int
-    lib.clip_decode_crop_normalize.argtypes = [
-        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),  # jpeg buffers
-        ctypes.POINTER(ctypes.c_int64),                   # byte lengths
-        ctypes.c_int,                                     # T
-        ctypes.POINTER(ctypes.c_double),                  # inv_trans
-        ctypes.c_int, ctypes.c_int,                       # out_h, out_w
-        ctypes.POINTER(ctypes.c_float),                   # out
-        ctypes.c_int,                                     # n_threads
-    ]
-    lib.clip_decode_crop_normalize.restype = ctypes.c_int
-    _lib = lib
+    try:
+        lib.has_jpeg_decode.argtypes = []
+        lib.has_jpeg_decode.restype = ctypes.c_int
+        lib.clip_decode_crop_normalize.argtypes = [
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),  # jpeg buffers
+            ctypes.POINTER(ctypes.c_int64),                   # byte lengths
+            ctypes.c_int,                                     # T
+            ctypes.POINTER(ctypes.c_double),                  # inv_trans
+            ctypes.c_int, ctypes.c_int,                       # out_h, out_w
+            ctypes.POINTER(ctypes.c_float),                   # out
+            ctypes.c_int,                                     # n_threads
+        ]
+        lib.clip_decode_crop_normalize.restype = ctypes.c_int
+        return bool(lib.has_jpeg_decode())
+    except AttributeError:
+        # stale pre-jpeg build on disk: the crop path still works
+        return False
+
+
+def _load():
+    global _lib, _has_jpeg
+    if _lib is not None:
+        return _lib
+    if not osp.isfile(_LIB_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        jpeg = _bind(lib)
+    except (OSError, AttributeError):
+        return None
+    if not jpeg:
+        # stale binary predating the jpeg entry points — rebuild once (the
+        # sources support them); keep the old lib on any failure
+        if _build():
+            try:
+                fresh = ctypes.CDLL(_LIB_PATH)
+                jpeg = _bind(fresh)
+                lib = fresh
+            except (OSError, AttributeError):
+                pass
+    _lib, _has_jpeg = lib, jpeg
     return lib
 
 
@@ -65,11 +94,7 @@ def native_available() -> bool:
 
 def has_jpeg_decode() -> bool:
     """True when the native build links libjpeg (threaded decode path)."""
-    lib = _load()
-    try:
-        return bool(lib is not None and lib.has_jpeg_decode())
-    except AttributeError:  # stale pre-jpeg .so on disk
-        return False
+    return _load() is not None and _has_jpeg
 
 
 def _inv_affines(trans):

@@ -102,3 +102,11 @@ def _ln_bwd(eps, res, g):
 
 
 fast_layernorm.defvjp(_ln_fwd, _ln_bwd)
+
+
+def apply_layernorm(x, scale, bias, eps=1e-6):
+    """The single pallas-vs-reference dispatch point (every call site in the
+    model goes through here so the kernel gate and epsilon cannot diverge)."""
+    if use_pallas_layernorm():
+        return fast_layernorm(x, scale, bias, eps)
+    return layernorm_reference(x, scale, bias, eps)

@@ -14,32 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def _sync(out):
-    """Force completion of all queued work by fetching one scalar.
-
-    jax.block_until_ready is not reliable over the axon tunnel (it can
-    return before the dispatch queue drains); a host fetch of a scalar from
-    the last output is — device execution is serialized, so this waits for
-    every prior dispatch too. Indexing first keeps the transfer at 4 bytes
-    (H2D/D2H over the tunnel runs at ~35 MB/s).
-    """
-    import jax
-    import numpy as np
-
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    return np.asarray(leaf[(0,) * leaf.ndim])
-
-
-def timeit(fn, args, iters=30, warmup=3):
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _sync(out)
-    return (time.perf_counter() - t0) / iters
+from maed_tpu.utils.timing import fetch_sync as _sync, timeit  # noqa: F401
 
 
 def main():

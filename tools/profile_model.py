@@ -15,27 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def _sync(out):
-    """Force completion by fetching one scalar (block_until_ready can return
-    early over the axon tunnel; a 4-byte D2H fetch of the last output cannot,
-    since device execution is serialized)."""
-    import jax
-    import numpy as np
-
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    return np.asarray(leaf[(0,) * leaf.ndim])
-
-
-def timeit(fn, args, iters=20, warmup=2):
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _sync(out)
-    return (time.perf_counter() - t0) / iters
+from maed_tpu.utils.timing import timeit  # tunnel-safe (fetch-synced)
 
 
 def main():
