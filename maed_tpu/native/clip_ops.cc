@@ -137,7 +137,16 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   std::longjmp(e->jb, 1);
 }
 
-// Decode a JPEG byte buffer to RGB; returns false on corrupt input.
+// Largest dimension we will allocate for (a dataset frame is <= 4K video;
+// the JPEG format header allows up to 65500 x 65500 x 3 ~= 12.8 GB, so a
+// corrupt/hostile header must be rejected BEFORE the resize below or the
+// std::bad_alloc would escape the worker thread and std::terminate the
+// whole training process — advisor finding, round 2).
+constexpr int kMaxJpegDim = 8192;
+
+// Decode a JPEG byte buffer to RGB; returns false on corrupt, oversized, or
+// allocation-failing input (any failure converts into the caller's
+// failed-frame path instead of an exception crossing the thread boundary).
 bool decode_jpeg(const uint8_t* buf, size_t len, std::vector<uint8_t>& out,
                  int* h, int* w) {
   jpeg_decompress_struct cinfo;
@@ -155,7 +164,16 @@ bool decode_jpeg(const uint8_t* buf, size_t len, std::vector<uint8_t>& out,
   jpeg_start_decompress(&cinfo);
   *w = static_cast<int>(cinfo.output_width);
   *h = static_cast<int>(cinfo.output_height);
-  out.resize(static_cast<size_t>(*w) * *h * 3);
+  if (*w <= 0 || *h <= 0 || *w > kMaxJpegDim || *h > kMaxJpegDim) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  try {
+    out.resize(static_cast<size_t>(*w) * *h * 3);
+  } catch (const std::bad_alloc&) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = out.data() +
                    static_cast<size_t>(cinfo.output_scanline) * *w * 3;

@@ -36,7 +36,9 @@ _INTERPRET = False  # tests flip this to run the kernel on CPU
 
 
 def use_pallas_layernorm() -> bool:
-    if not _HAS_PALLAS:
+    from maed_tpu.ops.pallas_gate import spmd_active
+
+    if not _HAS_PALLAS or spmd_active():
         return False
     if os.environ.get("MAED_PALLAS_LN", "1") != "1":
         return False

@@ -40,7 +40,9 @@ def use_fused_gate() -> bool:
     per-frame kernel runs at ~0.63 ms vs XLA's ~0.22 ms for the same ops —
     the (1, 2C) gate matvec and per-frame grid granularity underutilize the
     MXU, and XLA already fuses the branch means into neighboring ops."""
-    if not _HAS_PALLAS:
+    from maed_tpu.ops.pallas_gate import spmd_active
+
+    if not _HAS_PALLAS or spmd_active():
         return False
     if os.environ.get("MAED_FUSED_GATE", "0") != "1":
         return False
@@ -48,7 +50,9 @@ def use_fused_gate() -> bool:
 
 
 def use_fused_mlp() -> bool:
-    if not _HAS_PALLAS:
+    from maed_tpu.ops.pallas_gate import spmd_active
+
+    if not _HAS_PALLAS or spmd_active():
         return False
     if os.environ.get("MAED_FUSED_MLP", "1") != "1":
         return False

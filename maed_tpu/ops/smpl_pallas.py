@@ -88,7 +88,9 @@ def pallas_lbs_enabled() -> bool:
     stays on the XLA path (the kernel would run interpreted)."""
     import os
 
-    if not _HAS_PALLAS:
+    from maed_tpu.ops.pallas_gate import spmd_active
+
+    if not _HAS_PALLAS or spmd_active():
         return False
     flag = os.environ.get("MAED_PALLAS_LBS")
     if flag is not None:

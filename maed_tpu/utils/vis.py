@@ -67,3 +67,103 @@ def batch_grid(images: np.ndarray, kp_2d: np.ndarray | None = None,
 
 def joint_names(fmt: str = "spin"):
     return get_joint_names(fmt)
+
+
+# --------------------------------------------------------------------------- #
+# mesh-overlay batch grids (parity: /root/reference/lib/utils/vis.py:209-426 —
+# visualize_preds/batch_visualize_preds/batch_visualize_vid_preds), composed
+# from the GL-free rasterizer in utils/renderer.py.
+# --------------------------------------------------------------------------- #
+
+def _axis_angle_rotation(angle_deg: float, axis) -> np.ndarray:
+    """Rodrigues rotation matrix for the reference's side-view render
+    (render_image(angle=90, axis=[0,1,0]))."""
+    axis = np.asarray(axis, np.float64)
+    axis = axis / max(np.linalg.norm(axis), 1e-12)
+    th = np.deg2rad(angle_deg)
+    K = np.array([[0, -axis[2], axis[1]],
+                  [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    return (np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)).astype(np.float32)
+
+
+def render_mesh_overlay(img: np.ndarray, verts: np.ndarray, cam: np.ndarray,
+                        faces: np.ndarray, angle: float | None = None,
+                        axis=None, color=(0.9, 0.5, 0.4)) -> np.ndarray:
+    """Composite a weak-perspective SMPL mesh onto a uint8 image.
+
+    cam is the model's (s, tx, ty) weak-perspective triple
+    (pred_theta[:3]); angle/axis rotate the mesh about its centroid first
+    (the reference's rotated side view)."""
+    from maed_tpu.utils.renderer import Renderer
+
+    verts = np.asarray(verts, np.float32)
+    if angle is not None:
+        R = _axis_angle_rotation(angle, axis if axis is not None else [0, 1, 0])
+        center = verts.mean(axis=0, keepdims=True)
+        verts = (verts - center) @ R.T + center
+    s, tx, ty = np.asarray(cam, np.float32)[:3]
+    h, w = img.shape[:2]
+    return Renderer(resolution=(w, h)).render(
+        img, verts, np.asarray(faces), np.array([s, s, tx, ty], np.float32),
+        color=color,
+    )
+
+
+def visualize_preds(image: np.ndarray, preds: dict, faces: np.ndarray,
+                    target: dict | None = None,
+                    normalized_image: bool = True) -> np.ndarray:
+    """One sample's inspection strip:
+    [image | pred skeleton | (target skeleton) | mesh render | side render]
+    — the reference's visualize_preds panel layout (vis.py:209-269).
+
+    preds: per-sample {'theta' (85,), 'kp_2d' (K, 2|3), 'verts' (V, 3)};
+    target (optional): {'kp_2d' (K, 2|3)}. image: (H, W, 3) ImageNet-
+    normalized float (normalized_image=True) or uint8."""
+    img = denormalize_image(image) if normalized_image else image.copy()
+
+    cam = np.asarray(preds["theta"])[:3]
+    kp = np.asarray(preds["kp_2d"])
+    if kp.shape[-1] == 2:
+        kp = np.concatenate([kp, np.ones_like(kp[:, :1])], axis=-1)
+    panels = [img, draw_skeleton(img, kp)]
+    if target is not None and "kp_2d" in target:
+        panels.append(draw_skeleton(img, np.asarray(target["kp_2d"])))
+    verts = np.asarray(preds["verts"])
+    panels.append(render_mesh_overlay(img, verts, cam, faces))
+    panels.append(render_mesh_overlay(
+        np.zeros_like(img), verts, cam, faces, angle=90, axis=[0, 1, 0]))
+    return np.hstack(panels)
+
+
+def batch_visualize_preds(images: np.ndarray, preds: dict, faces: np.ndarray,
+                          target: dict | None = None, max_images: int = 16,
+                          idxs=None) -> np.ndarray:
+    """(N, H, W, 3) batch -> one vertically-stacked strip per sample
+    (reference vis.py:272-311)."""
+    n = min(len(images), max_images)
+    rows = []
+    for i in (range(n) if idxs is None else idxs):
+        p = {k: np.asarray(v)[i] for k, v in preds.items()}
+        t = None if target is None else {k: np.asarray(v)[i] for k, v in target.items()}
+        rows.append(visualize_preds(images[i], p, faces, t))
+    return np.vstack(rows)
+
+
+def batch_visualize_vid_preds(video: np.ndarray, preds: dict, faces: np.ndarray,
+                              target: dict | None = None,
+                              max_video: int = 4) -> np.ndarray:
+    """(N, T, H, W, 3) clips -> (N', T, H', W', 3) uint8 prediction video
+    grid (reference vis.py:314-365, NHWC instead of NCHW)."""
+    video = np.asarray(video)[:max_video]
+    n, t = video.shape[:2]
+    out = []
+    for b in range(n):
+        frames = []
+        for i in range(t):
+            p = {k: np.asarray(v)[b, i] for k, v in preds.items()}
+            tg = None if target is None else {
+                k: np.asarray(v)[b, i] for k, v in target.items()}
+            frames.append(visualize_preds(video[b, i], p, faces, tg))
+        out.append(np.stack(frames))
+    return np.stack(out)

@@ -253,7 +253,7 @@ def test_sharded_loader_worker_processes_match_inline(video_db):
                 np.testing.assert_array_equal(ba[k], bb[k])
 
 
-def test_sharded_loader_worker_error_propagates(video_db):
+def test_sharded_loader_worker_error_propagates(video_db, monkeypatch):
     class Boom:
         def __len__(self):
             return 8
@@ -261,6 +261,10 @@ def test_sharded_loader_worker_error_propagates(video_db):
         def __getitem__(self, i, rng=None):
             raise ValueError("boom")
 
+    # pin the fork start method: the subject here is error propagation, and
+    # the locally-defined Boom class cannot pickle under the forkserver
+    # default that kicks in once another test has initialized a JAX backend
+    monkeypatch.setenv("MAED_LOADER_MP", "fork")
     ld = ShardedLoader(Boom(), batch_size=2, num_workers=2)
     with pytest.raises(RuntimeError, match="boom"):
         list(ld)

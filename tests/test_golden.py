@@ -1,6 +1,14 @@
 """Golden-value regression tests: fixed seeds + fixed inputs -> committed
 output fingerprints. Catches unintended numeric drift across refactors
-(the reference's only analogue was re-running 3DPW eval)."""
+(the reference's only analogue was re-running 3DPW eval).
+
+Re-baselining policy (advisor finding, round 2: a golden regenerated in the
+same commit as a numeric change audits nothing): any refresh of
+golden/maed_tiny_v1.npz must land in its OWN commit, and correctness of the
+new numerics must be covered by an independently reproducible oracle in the
+suite — today that is test_reference_naming.py (f64 forward parity against
+the ACTUAL reference torch encoder, rtol 1e-6) plus the f64 full-model
+oracle (test_full_model_oracle.py)."""
 
 import os.path as osp
 

@@ -81,3 +81,51 @@ def test_vis_grid_and_skeleton(rng):
     assert grid.shape[0] % 32 == 0 and grid.shape[1] % 32 == 0
     one = draw_skeleton(denormalize_image(imgs[0]), kp[0])
     assert one.shape == (32, 32, 3)
+
+
+def test_visualize_preds_panel_layout(rng):
+    """Reference parity (vis.py:209-311): per-sample strip is
+    [image | pred skel | target skel | render | side render] = 5 panels."""
+    from maed_tpu.utils.vis import batch_visualize_preds, visualize_preds
+
+    n, hw, V = 2, 32, 50
+    images = rng.randn(n, hw, hw, 3).astype(np.float32) * 0.5
+    faces = rng.randint(0, V, (60, 3))
+    kp = rng.rand(n, 49, 3).astype(np.float32) * 2 - 1
+    kp[..., 2] = 1.0
+    preds = {
+        "theta": np.concatenate(
+            [np.tile([1.0, 0.0, 0.0], (n, 1)), np.zeros((n, 82))], axis=1
+        ).astype(np.float32),
+        "kp_2d": kp[..., :2],
+        "verts": (rng.randn(n, V, 3) * 0.3).astype(np.float32),
+    }
+    target = {"kp_2d": kp}
+
+    strip = visualize_preds(images[0], {k: v[0] for k, v in preds.items()},
+                            faces, {"kp_2d": kp[0]})
+    assert strip.shape == (hw, 5 * hw, 3) and strip.dtype == np.uint8
+    # the side render draws the mesh on black: last panel must be non-empty
+    assert strip[:, 4 * hw:].any()
+
+    grid = batch_visualize_preds(images, preds, faces, target)
+    assert grid.shape == (n * hw, 5 * hw, 3)
+
+
+def test_batch_visualize_vid_preds_shapes(rng):
+    from maed_tpu.utils.vis import batch_visualize_vid_preds
+
+    n, t, hw, V = 2, 3, 32, 40
+    video = rng.randn(n, t, hw, hw, 3).astype(np.float32) * 0.5
+    faces = rng.randint(0, V, (50, 3))
+    kp = rng.rand(n, t, 49, 2).astype(np.float32) * 2 - 1
+    preds = {
+        "theta": np.concatenate(
+            [np.tile([1.0, 0.0, 0.0], (n, t, 1)), np.zeros((n, t, 82))], axis=2
+        ).astype(np.float32),
+        "kp_2d": kp,
+        "verts": (rng.randn(n, t, V, 3) * 0.3).astype(np.float32),
+    }
+    vid = batch_visualize_vid_preds(video, preds, faces, max_video=2)
+    assert vid.shape == (2, t, hw, 4 * hw, 3)  # no target -> 4 panels
+    assert vid.dtype == np.uint8

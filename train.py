@@ -103,6 +103,9 @@ def main():
             logger.info(f"=> loaded pretrained encoder from {args.pretrained}")
 
     mesh = make_mesh()
+    from maed_tpu.ops.pallas_gate import register_mesh
+
+    register_mesh(mesh)  # pallas kernels stand down on >1-device meshes
     shardings = param_shardings(state.params, mesh)
     state = state._replace(params=jax.tree.map(jax.device_put, state.params, shardings))
 
@@ -114,14 +117,10 @@ def main():
         model, tx, smpl, weights, has_batch_stats=enc.BACKBONE.lower() == "cnn",
     )
 
-    def eval_apply_fn(state):
-        def apply(images, J_regressor=None):
-            variables = {"params": state.params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-            return model.apply(variables, images, smpl, J_regressor=J_regressor)
-
-        return apply
+    def eval_fwd(variables, images, J_regressor=None):
+        # params arrive as jit ARGUMENTS (the Trainer passes the live state
+        # per validation), so one compiled executable serves every epoch
+        return model.apply(variables, images, smpl, J_regressor=J_regressor)
 
     trainer = Trainer(
         data_loaders=loaders,
@@ -131,7 +130,7 @@ def main():
         smpl_model=smpl,
         cfg=cfg,
         logdir=logdir,
-        eval_apply_fn=eval_apply_fn,
+        eval_fwd=eval_fwd,
         writer=writer,
         logger=logger,
         rank=rank,
