@@ -42,6 +42,10 @@ def _use_fused_attention() -> bool:
     """
     import os
 
+    from maed_tpu.ops.pallas_gate import spmd_active
+
+    if spmd_active():
+        return False
     return os.environ.get("MAED_FUSED_ATTENTION", "0") == "1"
 
 
@@ -231,8 +235,16 @@ class StAttention(nn.Module):
         B = BT // seqlen
 
         from maed_tpu.ops.st_attention import (
-            temporal_attention, use_pallas_st_attention,
+            temporal_attention, temporal_attention_fused,
+            use_pallas_st_attention, use_temporal_v2,
         )
+
+        if (use_temporal_v2() and h % 2 == 0
+                and (self.attn_drop == 0.0 or deterministic)):
+            # head-pair kernel: lane-aligned reads from the natural qkv
+            # layout, output written directly in (BT, N, C) — no XLA
+            # relayout on either side (see ops/st_attention.py)
+            return temporal_attention_fused(qkv, seqlen, d ** -0.5)
 
         if use_pallas_st_attention() and (self.attn_drop == 0.0 or deterministic):
             # MXU-stacked pallas kernel (18912 tiny per-token matmuls are

@@ -55,7 +55,9 @@ def use_pallas_st_attention() -> bool:
     traffic it saves at T=16. Kept for larger T (the waste factor NB shrinks
     relative to the score tile as T grows) and other TPU generations.
     """
-    if not _HAS_PALLAS:
+    from maed_tpu.ops.pallas_gate import spmd_active
+
+    if not _HAS_PALLAS or spmd_active():
         return False
     if os.environ.get("MAED_PALLAS_ATTENTION", "0") != "1":
         return False
@@ -179,6 +181,146 @@ def _temporal_pallas(qkv, seqlen, scale, nb=8):
         ),
         interpret=_INTERPRET,
     )(qkv)
+
+
+# ---------------------------------------------------------------------------
+# temporal v2: head-PAIR kernel, fully lane-aligned, writes (BT, N, C)
+# ---------------------------------------------------------------------------
+#
+# Why v1 lost (measured round 2, 1.6 vs 1.2 ms/branch) and what v2 changes:
+#
+#   * v1 read q/k/v per head — a d=64 slice out of the (3, h, d) minor span,
+#     i.e. a sub-lane-width strided gather Mosaic must retile — and wrote a
+#     head-leading (h, BT, N, d) output that XLA then relaid out to
+#     (BT, N, C) (the relayout was most of the loss). v2 processes TWO
+#     adjacent heads at a time: their concatenated (2, d) = 128 lanes are
+#     exactly one aligned vector register row, so every load
+#     (qkv[.., 2j:2j+2, :] -> (M, 128)) and every store
+#     (out[.., 128j:128(j+1)]) is a full-width aligned access, and the
+#     output IS the (BT, N, C) tensor the gate/proj consume — no relayout
+#     on either side of the kernel.
+#   * per-head contraction inside a 128-lane pair is recovered by zeroing
+#     the other head's lanes in q before each score dot: (q * lane<d) @ k^T
+#     contracts only lanes 0..d-1 = head 2j's scores; the MXU does a full
+#     K=128 pass either way, so the masked halves are free FLOPs, not extra
+#     passes. The same lane masks split V for the P @ V products, and the
+#     two heads' outputs land in their own lane halves of one (M, 128)
+#     result — already in final layout.
+#   * the n-block-diagonal score mask (NB token positions stacked into the
+#     matmul M dimension) is v1's trick, unchanged: dense MXU tiles in
+#     exchange for an NB x FLOP waste that the roofline absorbs.
+# ---------------------------------------------------------------------------
+
+
+def temporal_reference_btc(qkv, seqlen, scale):
+    """qkv: (BT, N, 3, h, d) -> (BT, N, h*d); attention over T per (n, h).
+    Identical math to temporal_reference, output in token-major layout."""
+    BT, N, _, h, d = qkv.shape
+    B = BT // seqlen
+    t = qkv.reshape(B, seqlen, N, 3, h, d)
+    q, k, v = t[:, :, :, 0], t[:, :, :, 1], t[:, :, :, 2]
+    logits = jnp.einsum("bqnhd,bknhd->bnhqk", q, k) * scale
+    probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(q.dtype)
+    out = jnp.einsum("bnhqk,bknhd->bqnhd", probs, v)
+    return out.reshape(BT, N, h * d)
+
+
+def _temporal_v2_kernel(qkv_ref, o_ref, *, scale, num_heads, seqlen, nb,
+                        n_total, head_dim):
+    T, NB, d = seqlen, nb, head_dim
+    M = T * NB
+    # row index = q * NB + n (the (T, NB) reshape order); valid pairs share n
+    rows = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+    valid = (rows % NB) == (cols % NB)
+    neg = jnp.float32(-1e30)
+    # zero the padded lanes of a partial last n-block (garbage/NaN in V
+    # would leak through P @ V into valid rows)
+    valid_n = n_total - pl.program_id(1) * NB
+    vmask = (jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) % NB) < valid_n
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * d), 1)
+    lo = lane < d  # head 2j's lanes; ~lo = head 2j+1's
+    contract_last = (((1,), (1,)), ((), ()))
+    zero = jnp.zeros((), qkv_ref.dtype)
+    for j in range(num_heads // 2):
+        q2 = qkv_ref[:, :, 0, 2 * j:2 * j + 2, :].reshape(M, 2 * d)
+        k2 = qkv_ref[:, :, 1, 2 * j:2 * j + 2, :].reshape(M, 2 * d)
+        v2 = qkv_ref[:, :, 2, 2 * j:2 * j + 2, :].reshape(M, 2 * d)
+        v2 = jnp.where(vmask, v2, zero)
+        o = None
+        for lane_mask in (lo, ~lo):
+            qm = jnp.where(lane_mask, q2, zero)
+            s = jax.lax.dot_general(
+                qm, k2, contract_last, preferred_element_type=jnp.float32
+            )                                               # (M, M) f32
+            s = jnp.where(valid, s * scale, neg)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            # P is block-diagonal over n; V's other-head lanes are zeroed so
+            # this head's output occupies exactly its own lane half
+            vm = jnp.where(lane_mask, v2, zero)
+            oh = jnp.dot(p.astype(v2.dtype), vm,
+                         preferred_element_type=jnp.float32)
+            o = oh if o is None else o + oh
+        o_ref[:, :, 2 * d * j:2 * d * (j + 1)] = (
+            o.reshape(T, NB, 2 * d).astype(o_ref.dtype)
+        )
+
+
+def _temporal_v2_pallas(qkv, seqlen, scale, nb=8):
+    BT, N, _, h, d = qkv.shape
+    B = BT // seqlen
+    nb = min(nb, N)
+    nblocks = pl.cdiv(N, nb)
+    return pl.pallas_call(
+        functools.partial(
+            _temporal_v2_kernel, scale=scale, num_heads=h, seqlen=seqlen,
+            nb=nb, n_total=N, head_dim=d,
+        ),
+        out_shape=jax.ShapeDtypeStruct((BT, N, h * d), qkv.dtype),
+        grid=(B, nblocks),
+        in_specs=[
+            pl.BlockSpec((seqlen, nb, 3, h, d), lambda b, n: (b, n, 0, 0, 0))
+        ],
+        out_specs=pl.BlockSpec(
+            (seqlen, nb, h * d), lambda b, n: (b, n, 0)
+        ),
+        interpret=_INTERPRET,
+    )(qkv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def temporal_attention_fused(qkv, seqlen, scale):
+    """qkv (BT, N, 3, h, d) -> (BT, N, h*d) per-token attention over T.
+
+    Head-pair pallas kernel (even head count required — the flagship's
+    h=12 is); backward runs the einsum formulation."""
+    return _temporal_v2_pallas(qkv, seqlen, scale)
+
+
+def _temporal_v2_fwd(qkv, seqlen, scale):
+    return _temporal_v2_pallas(qkv, seqlen, scale), qkv
+
+
+def _temporal_v2_bwd(seqlen, scale, qkv, g):
+    _, vjp = jax.vjp(lambda t: temporal_reference_btc(t, seqlen, scale), qkv)
+    return vjp(g)
+
+
+temporal_attention_fused.defvjp(_temporal_v2_fwd, _temporal_v2_bwd)
+
+
+def use_temporal_v2() -> bool:
+    """Gate for the head-pair temporal kernel (MAED_TEMPORAL_V2, default
+    measured on the real chip before flipping)."""
+    from maed_tpu.ops.pallas_gate import spmd_active
+
+    if not _HAS_PALLAS or spmd_active():
+        return False
+    if os.environ.get("MAED_TEMPORAL_V2", "0") != "1":
+        return False
+    return _INTERPRET or jax.default_backend() == "tpu"
 
 
 # ---------------------------------------------------------------------------

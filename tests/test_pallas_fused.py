@@ -107,6 +107,37 @@ def test_temporal_attention_kernel_matches_einsum():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_temporal_v2_kernel_matches_einsum():
+    rng = np.random.RandomState(11)
+    B, T, N, h, d = 2, 4, 11, 4, 32  # N=11 exercises the padded last block
+    qkv = jnp.asarray(rng.randn(B * T, N, 3, h, d).astype(np.float32))
+    got = ST.temporal_attention_fused(qkv, T, d ** -0.5)
+    want = ST.temporal_reference_btc(qkv, T, d ** -0.5)
+    assert got.shape == (B * T, N, h * d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_temporal_v2_flagship_head_count():
+    """h=12 (six head pairs), NB=8-blocked N, d=64: the flagship geometry."""
+    rng = np.random.RandomState(12)
+    B, T, N, h, d = 1, 2, 9, 12, 64
+    qkv = jnp.asarray(rng.randn(B * T, N, 3, h, d).astype(np.float32))
+    got = ST.temporal_attention_fused(qkv, T, d ** -0.5)
+    want = ST.temporal_reference_btc(qkv, T, d ** -0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_temporal_v2_grad_matches():
+    rng = np.random.RandomState(13)
+    B, T, N, h, d = 1, 3, 5, 2, 16
+    qkv = jnp.asarray(rng.randn(B * T, N, 3, h, d).astype(np.float32))
+    g1 = jax.grad(
+        lambda q: ST.temporal_attention_fused(q, T, d ** -0.5).sum())(qkv)
+    g2 = jax.grad(
+        lambda q: ST.temporal_reference_btc(q, T, d ** -0.5).sum())(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
 def test_temporal_attention_grad_matches():
     rng = np.random.RandomState(7)
     B, T, N, h, d = 1, 3, 5, 2, 16
