@@ -234,6 +234,14 @@ class StAttention(nn.Module):
         BT, N, _, h, d = qkv.shape
         B = BT // seqlen
 
+        if seqlen == 1 and (self.attn_drop == 0.0 or deterministic):
+            # attention over a single frame is exactly the identity over v
+            # (softmax of a 1x1 logit is 1) — the image-batch forward of the
+            # mixed train step (T=1 clips) skips the whole branch. attn_drop
+            # > 0 would still drop/rescale that lone probability, so the
+            # shortcut stands down then.
+            return qkv[:, :, 2].reshape(BT, N, h * d)
+
         from maed_tpu.ops.st_attention import (
             temporal_attention, temporal_attention_fused,
             use_pallas_st_attention, use_temporal_v2,
@@ -393,14 +401,22 @@ class Block(nn.Module):
         from maed_tpu.ops.mlp import fused_ln_mlp, use_fused_mlp
 
         x = x.astype(self.dtype)
-        # fused kernel in eval only: its custom VJP recomputes the forward
-        # in the backward pass, so for training XLA's stored-intermediate
-        # differentiation of the plain formulation is cheaper. Both weight
-        # matrices must stay VMEM-resident: at f32 they alone are 18.9 MB
-        # (> the 16 MB scoped-vmem budget), so the kernel is bf16-only.
+        # The fused kernel skips Dropout/DropPath, so it requires either
+        # deterministic mode or all-zero rates (the published recipes set
+        # none — flax's Dropout(0.0) is an rng-free no-op, so the swap is
+        # exact). In training its custom VJP recomputes the forward
+        # (remat-style) instead of storing XLA's intermediates;
+        # MAED_FUSED_MLP_TRAIN=0 opts the backward-bearing path out for
+        # A/B. Both weight matrices must stay VMEM-resident: at f32 they
+        # alone are 18.9 MB (> the 16 MB scoped-vmem budget), so the
+        # kernel is bf16-only.
         hidden = int(self.dim * self.mlp_ratio)
         w_bytes = 2 * self.dim * hidden * jnp.dtype(self.dtype).itemsize
-        if use_fused_mlp() and deterministic and w_bytes <= 12 * 2 ** 20:
+        fusable = deterministic or (
+            self.drop == 0.0 and self.drop_path == 0.0
+            and os.environ.get("MAED_FUSED_MLP_TRAIN", "1") == "1"
+        )
+        if use_fused_mlp() and fusable and w_bytes <= 12 * 2 ** 20:
             return fused_ln_mlp(x, ln_s, ln_b, w1, b1, w2, b2, 1e-6)
         from maed_tpu.ops.layernorm import layernorm_reference
 

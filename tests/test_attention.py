@@ -105,6 +105,19 @@ def test_st_attention_matches_oracle(rng, mode):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+def test_parallel_T1_matches_oracle(rng):
+    """seqlen=1 takes the temporal-identity shortcut (softmax of a 1x1
+    logit is 1, so the branch returns v exactly) — the mixed train step's
+    image forward; must still match the torch oracle bit-for-bit."""
+    x = rng.randn(4, N, DIM).astype(np.float32)
+    module = StAttention(dim=DIM, num_heads=HEADS, st_mode="parallel")
+    params = module.init(jax.random.PRNGKey(0), jnp.asarray(x), 1)["params"]
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(module.apply({"params": params}, jnp.asarray(x), 1))
+    want = TorchOracle(params, "parallel")(x, 1)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
 def test_coupling_equals_spatial_when_T1(rng):
     """With seqlen=1 joint attention degenerates to spatial attention."""
     x = rng.randn(4, N, DIM).astype(np.float32)

@@ -167,6 +167,35 @@ def test_block_fused_path_matches_modular(monkeypatch):
     np.testing.assert_allclose(np.asarray(fused), np.asarray(plain), atol=1e-4)
 
 
+def test_block_fused_mlp_in_training_mode(monkeypatch):
+    """With all stochastic rates at 0 (every published recipe), the fused
+    MLP kernel is legal under deterministic=False: forward AND grads must
+    match the jnp path (its VJP recomputes the forward, remat-style)."""
+    from maed_tpu.models.vit import Block
+    from maed_tpu.ops import mlp as mlp_mod
+
+    rng = np.random.RandomState(10)
+    x = jnp.asarray(rng.randn(6, 9, 64).astype(np.float32))
+    blk = Block(64, 4, st_mode="parallel")
+    params = blk.init(jax.random.PRNGKey(0), x, 3, True)
+
+    def loss(p, use_fused):
+        monkeypatch.setenv("MAED_FUSED_MLP", "1" if use_fused else "0")
+        out = blk.apply(p, x, 3, False, rngs={"dropout": jax.random.PRNGKey(1)})
+        return (out ** 2).sum()
+
+    monkeypatch.setattr(mlp_mod, "_INTERPRET", True)
+    monkeypatch.setenv("MAED_FUSED_MLP_TRAIN", "1")
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    l2, g2 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3),
+        g1, g2,
+    )
+
+
 def test_fused_gate_proj_matches_reference():
     from maed_tpu.ops.mlp import fused_gate_proj, gate_proj_reference
 

@@ -22,6 +22,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="bf16")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--cost", action="store_true",
+                    help="print the compiled step's FLOP/byte cost_analysis")
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
 
@@ -74,10 +76,28 @@ def main():
                              jax.random.PRNGKey(0))
     step = make_train_step(model, tx, smpl, LossWeights(), donate=False)
 
-    print(f"device={jax.devices()[0]} dtype={dtype.__name__} remat={args.remat}",
-          file=sys.stderr)
+    knobs = {k: os.environ.get(k, "<default>") for k in (
+        "MAED_FUSED_MLP", "MAED_FUSED_MLP_TRAIN", "MAED_TEMPORAL_V2",
+        "MAED_PALLAS_LN", "MAED_PALLAS_LBS")}
+    print(f"device={jax.devices()[0]} dtype={dtype.__name__} remat={args.remat} "
+          f"knobs={knobs}", file=sys.stderr)
     state, metrics = step(state, vid, img)
     _ = float(np.asarray(metrics["loss"]))
+
+    if args.cost:
+        # byte/FLOP budget of the whole compiled step (the eval-side budget
+        # in doc/design.md pinned that forward as memory-bound; this is the
+        # training analogue). cost_analysis keys: flops, bytes accessed.
+        ca = step.lower(state, vid, img).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = ca.get("flops", 0.0)
+        byts = ca.get("bytes accessed", 0.0)
+        print(f"cost_analysis: {flops / 1e12:.2f} TFLOP "
+              f"({flops / 156e12 * 1e3:.1f} ms at 156 TF/s), "
+              f"{byts / 2**30:.1f} GiB accessed "
+              f"({byts / 800e9 * 1e3:.1f} ms at 800 GB/s)")
+
     t0 = time.perf_counter()
     for _ in range(args.iters):
         state, metrics = step(state, vid, img)
