@@ -33,6 +33,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 try:
     from jax.experimental import pallas as pl
@@ -225,8 +226,16 @@ def temporal_reference_btc(qkv, seqlen, scale):
     return out.reshape(BT, N, h * d)
 
 
-def _temporal_v2_kernel(qkv_ref, o_ref, *, scale, num_heads, seqlen, nb,
-                        n_total, head_dim):
+def _temporal_v2_kernel(qkv_ref, lo_ref, o_ref, *, scale, num_heads, seqlen,
+                        nb, n_total, head_dim):
+    # qkv_ref block: (T, NB, 3, h*d) — the (h, d) minor dims are collapsed
+    # OUTSIDE the kernel (a free contiguous-minor reshape for XLA) so every
+    # in-kernel head-pair access is a static 128-lane span; Mosaic cannot
+    # shape-cast a (.., 2, 64) -> (.., 128) merge across the lane boundary.
+    # lo_ref: (M, 2d) 0/1 selector of head 2j's lane half. It must be a real
+    # VMEM operand: pallas rejects captured array constants, and any
+    # iota-derived lane mask is sublane-constant — a layout Mosaic can only
+    # use via an unimplemented sublane broadcast.
     T, NB, d = seqlen, nb, head_dim
     M = T * NB
     # row index = q * NB + n (the (T, NB) reshape order); valid pairs share n
@@ -235,21 +244,23 @@ def _temporal_v2_kernel(qkv_ref, o_ref, *, scale, num_heads, seqlen, nb,
     valid = (rows % NB) == (cols % NB)
     neg = jnp.float32(-1e30)
     # zero the padded lanes of a partial last n-block (garbage/NaN in V
-    # would leak through P @ V into valid rows)
+    # would leak through P @ V into valid rows); (M, 1) is the one row-mask
+    # layout Mosaic lane-broadcasts for free
     valid_n = n_total - pl.program_id(1) * NB
     vmask = (jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) % NB) < valid_n
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * d), 1)
-    lo = lane < d  # head 2j's lanes; ~lo = head 2j+1's
+    lo = lo_ref[...]
+    hi = jnp.ones((), lo.dtype) - lo
     contract_last = (((1,), (1,)), ((), ()))
     zero = jnp.zeros((), qkv_ref.dtype)
     for j in range(num_heads // 2):
-        q2 = qkv_ref[:, :, 0, 2 * j:2 * j + 2, :].reshape(M, 2 * d)
-        k2 = qkv_ref[:, :, 1, 2 * j:2 * j + 2, :].reshape(M, 2 * d)
-        v2 = qkv_ref[:, :, 2, 2 * j:2 * j + 2, :].reshape(M, 2 * d)
+        sl = slice(2 * d * j, 2 * d * (j + 1))
+        q2 = qkv_ref[:, :, 0, sl].reshape(M, 2 * d)
+        k2 = qkv_ref[:, :, 1, sl].reshape(M, 2 * d)
+        v2 = qkv_ref[:, :, 2, sl].reshape(M, 2 * d)
         v2 = jnp.where(vmask, v2, zero)
         o = None
-        for lane_mask in (lo, ~lo):
-            qm = jnp.where(lane_mask, q2, zero)
+        for lane_mask in (lo, hi):
+            qm = q2 * lane_mask
             s = jax.lax.dot_general(
                 qm, k2, contract_last, preferred_element_type=jnp.float32
             )                                               # (M, M) f32
@@ -259,7 +270,7 @@ def _temporal_v2_kernel(qkv_ref, o_ref, *, scale, num_heads, seqlen, nb,
             p = p / jnp.sum(p, axis=-1, keepdims=True)
             # P is block-diagonal over n; V's other-head lanes are zeroed so
             # this head's output occupies exactly its own lane half
-            vm = jnp.where(lane_mask, v2, zero)
+            vm = v2 * lane_mask
             oh = jnp.dot(p.astype(v2.dtype), vm,
                          preferred_element_type=jnp.float32)
             o = oh if o is None else o + oh
@@ -273,6 +284,12 @@ def _temporal_v2_pallas(qkv, seqlen, scale, nb=8):
     B = BT // seqlen
     nb = min(nb, N)
     nblocks = pl.cdiv(N, nb)
+    M = seqlen * nb
+    # collapse (h, d) before the call: contiguous-minor merge, free in XLA
+    qkv = qkv.reshape(BT, N, 3, h * d)
+    lo = jnp.asarray(
+        np.tile(np.arange(2 * d) < d, (M, 1)).astype(np.float32), qkv.dtype
+    )
     return pl.pallas_call(
         functools.partial(
             _temporal_v2_kernel, scale=scale, num_heads=h, seqlen=seqlen,
@@ -281,13 +298,14 @@ def _temporal_v2_pallas(qkv, seqlen, scale, nb=8):
         out_shape=jax.ShapeDtypeStruct((BT, N, h * d), qkv.dtype),
         grid=(B, nblocks),
         in_specs=[
-            pl.BlockSpec((seqlen, nb, 3, h, d), lambda b, n: (b, n, 0, 0, 0))
+            pl.BlockSpec((seqlen, nb, 3, h * d), lambda b, n: (b, n, 0, 0)),
+            pl.BlockSpec((M, 2 * d), lambda b, n: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (seqlen, nb, h * d), lambda b, n: (b, n, 0)
         ),
         interpret=_INTERPRET,
-    )(qkv)
+    )(qkv, lo)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
