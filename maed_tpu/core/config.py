@@ -184,7 +184,13 @@ def parse_args(argv=None):
              "only useful for smoke tests)")
     args = parser.parse_args(argv)
 
-    if args.cfg is not None and osp.isfile(args.cfg):
+    if args.cfg is not None:
+        # hard-fail on a missing file: silently running the full default
+        # config instead of the requested one is never what the user meant
+        # (parity: the reference's yacs merge_from_file raises too,
+        # /root/reference/lib/core/config.py:114-117)
+        if not osp.isfile(args.cfg):
+            parser.error(f"--cfg file not found: {args.cfg}")
         cfg = update_cfg(args.cfg)
     else:
         cfg = get_cfg_defaults()

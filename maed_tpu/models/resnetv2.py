@@ -90,6 +90,7 @@ class _GroupNormCore(nn.Module):
     num_groups: int = 32
     eps: float = 1e-5
     dtype: Any = jnp.float32
+    relu: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -98,6 +99,11 @@ class _GroupNormCore(nn.Module):
         g = self.num_groups
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        from maed_tpu.ops.groupnorm import fused_groupnorm, use_fused_groupnorm
+
+        if use_fused_groupnorm():
+            return fused_groupnorm(
+                x.astype(self.dtype), scale, bias, g, self.eps, self.relu)
         red = tuple(range(1, x.ndim - 1))
         xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
         s1 = jnp.mean(xf, axis=red)               # (B, C)
@@ -109,7 +115,8 @@ class _GroupNormCore(nn.Module):
         mul = (scale * jax.lax.rsqrt(var + self.eps)).astype(self.dtype)
         add = (bias - mean * (scale * jax.lax.rsqrt(var + self.eps))).astype(self.dtype)
         bshape = (B,) + (1,) * (x.ndim - 2) + (C,)
-        return x.astype(self.dtype) * mul.reshape(bshape) + add.reshape(bshape)
+        y = x.astype(self.dtype) * mul.reshape(bshape) + add.reshape(bshape)
+        return nn.relu(y) if self.relu else y
 
 
 class GroupNormAct(nn.Module):
@@ -120,13 +127,10 @@ class GroupNormAct(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = _GroupNormCore(
+        return _GroupNormCore(
             num_groups=self.num_groups, eps=self.eps, dtype=self.dtype,
-            name="GroupNorm_0",
+            relu=self.apply_act, name="GroupNorm_0",
         )(x)
-        if self.apply_act:
-            y = nn.relu(y)
-        return y
 
 
 def max_pool_same(x, window=3, stride=2):

@@ -21,3 +21,26 @@ def honor_env_platform():
             jax.config.update("jax_platforms", env.strip())
         except Exception:
             pass
+    enable_persistent_cache()
+
+
+def enable_persistent_cache(path: str | None = None):
+    """Point every entry point at a persistent compilation cache.
+
+    Full-model compiles are minutes (10-20 min for the flagship on TPU over
+    the remote-compile tunnel, similar on a small CPU host) — without a disk
+    cache every CLI invocation pays that again. Honors an explicit
+    JAX_COMPILATION_CACHE_DIR; defaults to ~/.cache/jax_maed_cache.
+    MAED_NO_CACHE=1 opts out (e.g. cold-compile benchmarking)."""
+    import jax
+
+    if os.environ.get("MAED_NO_CACHE") == "1":
+        return
+    cache = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+             or os.path.expanduser("~/.cache/jax_maed_cache"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--cost", action="store_true",
                     help="print the compiled step's FLOP/byte cost_analysis")
+    ap.add_argument("--donate", action="store_true",
+                    help="donate the state buffers (the production Trainer "
+                    "path) — lets XLA update params/opt-state in place")
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
 
@@ -74,7 +77,7 @@ def main():
     }
     state = init_train_state(model, tx, vid["images"][:1, :2], smpl,
                              jax.random.PRNGKey(0))
-    step = make_train_step(model, tx, smpl, LossWeights(), donate=False)
+    step = make_train_step(model, tx, smpl, LossWeights(), donate=args.donate)
 
     knobs = {k: os.environ.get(k, "<default>") for k in (
         "MAED_FUSED_MLP", "MAED_FUSED_MLP_TRAIN", "MAED_TEMPORAL_V2",
