@@ -18,6 +18,7 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -181,7 +182,7 @@ class StAttention(nn.Module):
             # input is the concat of the two branch means: (2C) -> (2C)
             self.ts_attn_p = _DenseParams(self.dim * 2, self.dim * 2, name="ts_attn")
 
-    def _qkv_heads(self, x, ln=None):
+    def _qkv_heads(self, x, ln=None, deterministic=True):
         """Project to q, k, v and split heads WITHOUT transposing.
 
         Returns one (BT, N, 3, h, d) array. All downstream attention modes use
@@ -203,7 +204,13 @@ class StAttention(nn.Module):
         h = self.num_heads
         kern, bias = self.qkv_p()
         x = x.astype(self.dtype)
-        if ln is not None and use_fused_mlp():
+        # training runs the plain path by default: the kernel's remat VJP
+        # measured neutral-to-negative on the memory-bound train step
+        # (155.4 ms all-plain vs 155.8 with fused qkv; doc/design.md table).
+        # MAED_FUSED_QKV_TRAIN=1 opts it back in.
+        fuse_ok = deterministic or os.environ.get(
+            "MAED_FUSED_QKV_TRAIN", "0") == "1"
+        if ln is not None and use_fused_mlp() and fuse_ok:
             b = jnp.zeros((self.dim * 3,), jnp.float32) if bias is None else bias
             y = fused_ln_dense(x, ln[0], ln[1], kern, b)
         else:
@@ -305,23 +312,23 @@ class StAttention(nn.Module):
         BT, N, C = x.shape
 
         if self.st_mode in ("vanilla", "spatial"):
-            y = self._spatial(self._qkv_heads(x, ln), deterministic)
+            y = self._spatial(self._qkv_heads(x, ln, deterministic), deterministic)
         elif self.st_mode == "temporal":
             if ln is not None:
                 from maed_tpu.ops.layernorm import apply_layernorm
 
                 x = apply_layernorm(x.astype(self.dtype), ln[0], ln[1])
             xm = x.mean(axis=1, keepdims=True)  # (BT, 1, C)
-            y = self._temporal(self._qkv_heads(xm), seqlen, deterministic)
+            y = self._temporal(self._qkv_heads(xm, deterministic=deterministic), seqlen, deterministic)
         elif self.st_mode == "coupling":
-            y = self._coupling(self._qkv_heads(x, ln), seqlen, deterministic)
+            y = self._coupling(self._qkv_heads(x, ln, deterministic), seqlen, deterministic)
         elif self.st_mode == "series":
-            y = self._spatial(self._qkv_heads(x, ln), deterministic)
-            y = self._temporal(self._qkv_heads(y), seqlen, deterministic)
+            y = self._spatial(self._qkv_heads(x, ln, deterministic), deterministic)
+            y = self._temporal(self._qkv_heads(y, deterministic=deterministic), seqlen, deterministic)
         elif self.st_mode == "parallel":
             from maed_tpu.ops.mlp import fused_gate_proj, use_fused_gate
 
-            qkv = self._qkv_heads(x, ln)
+            qkv = self._qkv_heads(x, ln, deterministic)
             y_t = self._temporal(qkv, seqlen, deterministic)
             y_s = self._spatial(qkv, deterministic)
             if residual is not None and use_fused_gate():
@@ -404,17 +411,20 @@ class Block(nn.Module):
         # The fused kernel skips Dropout/DropPath, so it requires either
         # deterministic mode or all-zero rates (the published recipes set
         # none — flax's Dropout(0.0) is an rng-free no-op, so the swap is
-        # exact). In training its custom VJP recomputes the forward
-        # (remat-style) instead of storing XLA's intermediates;
-        # MAED_FUSED_MLP_TRAIN=0 opts the backward-bearing path out for
-        # A/B. Both weight matrices must stay VMEM-resident: at f32 they
-        # alone are 18.9 MB (> the 16 MB scoped-vmem budget), so the
-        # kernel is bf16-only.
+        # exact). Training defaults to the PLAIN path: the kernel's
+        # remat-style VJP was measured a net loss on the memory-bound v5e
+        # train step (155.8 ms plain vs 158.0 fused+recompute vs 164.8 with
+        # a bf16-materializing hand backward — same lesson as block remat,
+        # which measured 179.7: recompute loses when HBM is the binding
+        # roofline). MAED_FUSED_MLP_TRAIN=1 opts the backward-bearing
+        # kernel path in for future shapes/generations. Both weight
+        # matrices must stay VMEM-resident: at f32 they alone are 18.9 MB
+        # (> the 16 MB scoped-vmem budget), so the kernel is bf16-only.
         hidden = int(self.dim * self.mlp_ratio)
         w_bytes = 2 * self.dim * hidden * jnp.dtype(self.dtype).itemsize
         fusable = deterministic or (
             self.drop == 0.0 and self.drop_path == 0.0
-            and os.environ.get("MAED_FUSED_MLP_TRAIN", "1") == "1"
+            and os.environ.get("MAED_FUSED_MLP_TRAIN", "0") == "1"
         )
         if use_fused_mlp() and fusable and w_bytes <= 12 * 2 ** 20:
             return fused_ln_mlp(x, ln_s, ln_b, w1, b1, w2, b2, 1e-6)

@@ -223,6 +223,14 @@ def _fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
 
 
 def _bwd(eps, res, g):
+    # Recompute through the f32-accumulating reference (remat-style). A
+    # hand-rolled backward materializing every intermediate in x.dtype was
+    # measured SLOWER on v5e (164.8 vs 158.0 ms full train step) despite
+    # halving the recompute bytes — XLA schedules the reference recompute's
+    # mega-fusions better than the explicit dot chain. Training defaults to
+    # the plain stored-intermediate path anyway (155.8 ms; see
+    # doc/design.md train-step table) — this VJP is the opt-in
+    # MAED_FUSED_MLP_TRAIN=1 path and the correctness anchor.
     x, ln_scale, ln_bias, w1, b1, w2, b2 = res
     _, vjp = jax.vjp(
         lambda *a: ln_mlp_reference(*a, eps), x, ln_scale, ln_bias, w1, b1,

@@ -28,6 +28,10 @@ def main():
                     help="donate the state buffers (the production Trainer "
                     "path) — lets XLA update params/opt-state in place")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--trace", default="",
+                    help="capture a jax.profiler trace of the timed loop to "
+                    "this dir (feed to tools/trace_ops.py for the per-op "
+                    "device-time rollup)")
     args = ap.parse_args()
 
     import jax
@@ -101,11 +105,16 @@ def main():
               f"{byts / 2**30:.1f} GiB accessed "
               f"({byts / 800e9 * 1e3:.1f} ms at 800 GB/s)")
 
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        state, metrics = step(state, vid, img)
-    _ = float(np.asarray(metrics["loss"]))
-    dt = (time.perf_counter() - t0) / args.iters
+    import contextlib
+
+    prof = (jax.profiler.trace(args.trace) if args.trace
+            else contextlib.nullcontext())
+    with prof:
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, metrics = step(state, vid, img)
+        _ = float(np.asarray(metrics["loss"]))
+        dt = (time.perf_counter() - t0) / args.iters
     frames = (n2d + n3d) * T + nimg
     print(f"train step {dt * 1e3:.1f} ms -> {frames / dt:.0f} frames/s "
           f"(loss {float(np.asarray(metrics['loss'])):.3f})")
