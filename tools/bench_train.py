@@ -1,11 +1,13 @@
-"""Benchmark the full stage-2 train step on the real chip.
+"""Benchmark the full train step on the real chip.
 
-Composition mirrors the reference's per-GPU stage-2 recipe (train.py /
-configs/config_stage2.yaml): 3 2D-video + 4 3D-video clips of 16 frames plus
-7 images per step — both forwards, weighted loss, backward, Adam update in
-one executable. Prints ms/step and frames/s.
+Default composition mirrors the reference's per-GPU stage-2 recipe
+(train.py / configs/config_stage2.yaml): 3 2D-video + 4 3D-video clips of
+16 frames plus 7 images per step — both forwards, weighted loss, backward,
+Adam update in one executable. --stage1 switches to the stage-1 recipe
+(configs/config_stage1.yaml: image-only, resnet50 'cnn' encoder,
+BATCH_SIZE_IMG=128). Prints ms/step and frames/s.
 
-Usage: python tools/bench_train.py [--remat] [--dtype bf16|f32]
+Usage: python tools/bench_train.py [--stage1] [--remat] [--dtype bf16|f32]
 """
 
 import argparse
@@ -21,6 +23,8 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="bf16")
+    ap.add_argument("--stage1", action="store_true",
+                    help="stage-1 recipe: image-only batch 128, cnn encoder")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--cost", action="store_true",
                     help="print the compiled step's FLOP/byte cost_analysis")
@@ -51,8 +55,16 @@ def main():
     from maed_tpu.utils.smpl_io import find_smpl_model
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    model = MAED(encoder="ste", num_blocks=6, num_heads=12, st_mode="parallel",
-                 decoder="ktd", hidden_dim=1024, remat=args.remat, dtype=dtype)
+    if args.stage1:
+        # configs/config_stage1.yaml: cnn (torchvision resnet50) encoder,
+        # iterative decoder is NOT used there either — stage 1 trains ktd
+        # on image batches only (reference lib/models/maed.py:35-37)
+        model = MAED(encoder="cnn", decoder="ktd", hidden_dim=1024,
+                     dtype=dtype)
+    else:
+        model = MAED(encoder="ste", num_blocks=6, num_heads=12,
+                     st_mode="parallel", decoder="ktd", hidden_dim=1024,
+                     remat=args.remat, dtype=dtype)
     smpl = find_smpl_model()
 
     class _O:
@@ -62,7 +74,9 @@ def main():
     tx = make_optimizer(_O(), steps_per_epoch=500)
     rng = np.random.RandomState(0)
     n2d, n3d, nimg, T = 3, 4, 7, 16
-    vid = {
+    if args.stage1:
+        n2d, n3d, nimg = 0, 0, 128  # BATCH_SIZE_IMG, config_stage1.yaml
+    vid = None if n2d + n3d == 0 else {
         "images": jnp.asarray(rng.randn(n2d + n3d, T, 224, 224, 3).astype(np.float32)),
         "target_2d": {"kp_2d": jnp.asarray(rng.rand(n2d, T, 49, 3).astype(np.float32))},
         "target_3d": {
@@ -79,9 +93,12 @@ def main():
         "theta": jnp.asarray(rng.rand(nimg, 85).astype(np.float32)),
         "w_smpl": jnp.ones((nimg,), np.float32),
     }
-    state = init_train_state(model, tx, vid["images"][:1, :2], smpl,
-                             jax.random.PRNGKey(0))
-    step = make_train_step(model, tx, smpl, LossWeights(), donate=args.donate)
+    sample = (img["image"][:1, None] if vid is None
+              else vid["images"][:1, :2])
+    state = init_train_state(model, tx, sample, smpl, jax.random.PRNGKey(0))
+    step = make_train_step(model, tx, smpl, LossWeights(),
+                           has_batch_stats=bool(state.batch_stats),
+                           donate=args.donate)
 
     knobs = {k: os.environ.get(k, "<default>") for k in (
         "MAED_FUSED_MLP", "MAED_FUSED_MLP_TRAIN", "MAED_TEMPORAL_V2",
