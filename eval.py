@@ -100,6 +100,10 @@ def main():
         dataset_name=args.eval_ds, save_path=args.output_path,
         batch_size=cfg.EVAL.BATCH_SIZE,  # pad ragged last batch: one executable
         variables=variables,  # params as jit args: one cached executable
+        # same opt-in as the synthetic body: smoke runs without the real
+        # h36m regressor fall back to the native joint bank (metrics then
+        # not protocol-comparable); real runs hard-fail with instructions
+        allow_missing_regressor=args.allow_synthetic_smpl,
     )
 
 

@@ -19,6 +19,7 @@ whole eval runs on exactly one compiled executable per protocol.
 from __future__ import annotations
 
 import os.path as osp
+import sys
 import time
 from collections import defaultdict
 from typing import Callable, Dict, Optional
@@ -33,13 +34,34 @@ from maed_tpu.ops.metrics import eval_metrics, vert_error
 from maed_tpu.ops.smpl import SMPLModel, smpl_forward
 
 
-def load_eval_regressor(dataset_name: str, data_dir: Optional[str] = None) -> Optional[np.ndarray]:
+def load_eval_regressor(dataset_name: str, data_dir: Optional[str] = None,
+                        allow_missing: bool = False) -> Optional[np.ndarray]:
+    """Load the external joint regressor a dataset's eval protocol demands.
+
+    3dpw/h36m metrics are J14/J17 subsets of the h36m regressor's joints
+    (JID_DICT indexes into ITS bank) — running without the file would both
+    mis-select from the 49-joint native bank and be incomparable to the
+    reference's published numbers, so a missing required file is a hard
+    failure (same footgun class as the synthetic-SMPL fallback; the
+    reference crashes on the missing file too, just less legibly).
+    """
     fname = REGRESSOR_DICT.get(dataset_name)
     if fname is None:
         return None
     path = osp.join(data_dir or cfg_mod.DATA_DIR, fname)
     if not osp.isfile(path):
-        return None
+        if allow_missing:
+            print(f"WARNING: eval regressor '{path}' not found — "
+                  f"{dataset_name} metrics will use the model's native "
+                  "joint bank and are NOT comparable to the reference "
+                  "protocol.", file=sys.stderr)
+            return None
+        raise FileNotFoundError(
+            f"{dataset_name} evaluation requires '{fname}' "
+            f"(J14-on-h36m metric protocol); place it at {path}. "
+            "Pass J_regressor= explicitly or allow_missing=True to run "
+            "with the model's native joint bank (metrics then NOT "
+            "comparable to published numbers).")
     return np.load(path).astype(np.float32)
 
 
@@ -119,6 +141,7 @@ class Evaluator:
         verbose: bool = True,
         mesh=None,
         variables=None,
+        allow_missing_regressor: bool = False,
     ):
         self.accumulators = defaultdict(list)
         if mesh is not None:
@@ -126,8 +149,14 @@ class Evaluator:
 
             register_mesh(mesh)  # pallas has no SPMD rule; see ops/pallas_gate
         if J_regressor is None:
-            J_regressor = load_eval_regressor(dataset_name)
+            J_regressor = load_eval_regressor(
+                dataset_name, allow_missing=allow_missing_regressor)
         Jid = JID_DICT.get(dataset_name, None)
+        if REGRESSOR_DICT.get(dataset_name) is not None and J_regressor is None:
+            # native-joint-bank smoke path (allow_missing): JID_DICT indexes
+            # the REGRESSOR's bank, so selecting with it here would silently
+            # pick wrong joints from the 49-joint native bank
+            Jid = None
         jreg_dev = None if J_regressor is None else jnp.asarray(J_regressor)
 
         jit_fwd = self._jit_forward(apply_fn, variables is not None)
@@ -297,11 +326,12 @@ class Evaluator:
 
     def run(self, apply_fn, dataloader, seqlen=16, interp=1, dataset_name="3dpw",
             J_regressor=None, save_path="", verbose=True, batch_size=None,
-            mesh=None, variables=None):
+            mesh=None, variables=None, allow_missing_regressor=False):
         self.inference(apply_fn, dataloader, seqlen=seqlen, interp=interp,
                        dataset_name=dataset_name, J_regressor=J_regressor,
                        batch_size=batch_size, verbose=verbose, mesh=mesh,
-                       variables=variables)
+                       variables=variables,
+                       allow_missing_regressor=allow_missing_regressor)
         eval_dict, num_pred = self.evaluate(save_path)
         eval_dict, num_pred = self.sync_metrics(eval_dict, num_pred)
         if verbose:

@@ -22,7 +22,7 @@ from typing import Dict, Optional
 import jax
 import numpy as np
 
-from maed_tpu.core.evaluate import Evaluator
+from maed_tpu.core.evaluate import Evaluator, load_eval_regressor
 from maed_tpu.data.loaders import InfiniteLoader
 from maed_tpu.parallel.train_step import TrainState
 from maed_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
@@ -73,6 +73,11 @@ class Trainer:
         self.eval_apply_fn = eval_apply_fn
         self.eval_fwd = eval_fwd
         self._evaluator: Optional[Evaluator] = None
+        # fail fast (not after the first epoch) if the eval protocol's
+        # regressor file is missing; reused by every validation epoch
+        self._eval_ds = cfg.TRAIN.DATASET_EVAL.lower().replace("threedpw", "3dpw")
+        self._eval_jreg = (load_eval_regressor(self._eval_ds)
+                           if self.valid_loader is not None else None)
 
         self.start_epoch = cfg.TRAIN.START_EPOCH
         self.end_epoch = cfg.TRAIN.END_EPOCH
@@ -202,7 +207,7 @@ class Trainer:
             apply_fn, self.valid_loader,
             variables=variables,
             seqlen=self.cfg.EVAL.SEQLEN, interp=self.cfg.EVAL.INTERPOLATION,
-            dataset_name=self.cfg.TRAIN.DATASET_EVAL.lower().replace("threedpw", "3dpw"),
+            dataset_name=self._eval_ds, J_regressor=self._eval_jreg,
             batch_size=self.cfg.EVAL.BATCH_SIZE,
             verbose=self.rank == 0,
             mesh=self.mesh,

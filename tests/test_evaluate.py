@@ -213,3 +213,21 @@ def test_evaluator_dp_sharded_matches_unsharded():
         a = np.concatenate(ev_plain.accumulators[k], axis=0)
         b = np.concatenate(ev_mesh.accumulators[k], axis=0)
         np.testing.assert_array_equal(a, b)
+
+
+def test_load_eval_regressor_required_semantics(tmp_path):
+    """3dpw demands J_regressor_h36m.npy: hard-fail when missing (silently
+    wrong J14 selection otherwise), warn-and-None with allow_missing, load
+    when present; datasets without a protocol regressor return None."""
+    from maed_tpu.core.evaluate import load_eval_regressor
+
+    with pytest.raises(FileNotFoundError, match="J_regressor_h36m"):
+        load_eval_regressor("3dpw", data_dir=str(tmp_path))
+    assert load_eval_regressor("3dpw", data_dir=str(tmp_path),
+                               allow_missing=True) is None
+    assert load_eval_regressor("mpii3d", data_dir=str(tmp_path)) is None
+
+    jreg = np.abs(np.random.rand(17, 99)).astype(np.float64)
+    np.save(tmp_path / "J_regressor_h36m.npy", jreg)
+    got = load_eval_regressor("3dpw", data_dir=str(tmp_path))
+    assert got.dtype == np.float32 and got.shape == (17, 99)
