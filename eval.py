@@ -7,77 +7,32 @@ Accepts orbax checkpoints (our trainer's output) or torch .pth/.pth.tar files
 from the reference (converted on the fly via utils.torch_convert).
 """
 
-import jax
-import numpy as np
-
 from maed_tpu.utils.platform import honor_env_platform
 
 honor_env_platform()
 
+from maed_tpu.core.builder import build_eval_model
 from maed_tpu.core.config import parse_args
 from maed_tpu.core.evaluate import Evaluator
 from maed_tpu.data.dataset import VideoDataset
 from maed_tpu.data.loaders import ShardedLoader
 from maed_tpu.data.transforms import build_eval_transforms
-from maed_tpu.models import MAED
-from maed_tpu.utils.checkpoint import (
-    fold_weight_standardization,
-    load_checkpoint,
-    load_eval_params,
-)
-from maed_tpu.utils.smpl_io import find_smpl_model
-
-
-def load_any_checkpoint_params(path: str, params, batch_stats=None):
-    """orbax dir or torch .pth(.tar) -> (param tree, batch_stats tree)."""
-    if path.endswith((".pth", ".pth.tar", ".pt", ".tar")):
-        from maed_tpu.utils.torch_convert import convert_torch_checkpoint
-
-        conv = convert_torch_checkpoint(path, params)
-        params = load_eval_params(params, conv["params"])
-        if conv["batch_stats"]:
-            batch_stats = (
-                load_eval_params(batch_stats, conv["batch_stats"])
-                if batch_stats else conv["batch_stats"]
-            )
-        return params, batch_stats
-    ckpt = load_checkpoint(path)
-    src = ckpt["params"] if "params" in ckpt else ckpt
-    params = load_eval_params(params, src)
-    if isinstance(ckpt, dict) and ckpt.get("batch_stats"):
-        batch_stats = ckpt["batch_stats"]
-    return params, batch_stats
 
 
 def main():
     args, cfg, _ = parse_args()
 
-    enc = cfg.MODEL.ENCODER
-    dec = cfg.MODEL.DECODER
-    is_ste = enc.BACKBONE.lower() == "ste"
-    # StdConv weight standardization is folded into the loaded kernels below,
-    # so the shipped eval runs the standardize_ws=False fast path (same config
-    # bench.py measures; identical outputs, ~20% faster hybrid stem).
-    model = MAED(
-        encoder=enc.BACKBONE, num_blocks=enc.NUM_BLOCKS, num_heads=enc.NUM_HEADS,
-        st_mode=enc.SPA_TEMP_MODE, decoder=dec.BACKBONE, hidden_dim=dec.HIDDEN_DIM,
-        standardize_ws=not is_ste,
+    # builder: model from cfg, WS folded (standardize_ws=False fast path),
+    # orbax-or-torch checkpoint loaded; hard-fails on a missing body model
+    # unless the user explicitly opted in (metrics against a random body
+    # are garbage — VERDICT r2 weak #5)
+    ckpt_path = args.checkpoint or args.pretrained  # reference CLI used --pretrained
+    model, variables, smpl = build_eval_model(
+        cfg, checkpoint=ckpt_path,
+        allow_synthetic_smpl=args.allow_synthetic_smpl,
     )
-    # hard-fail on a missing body model unless the user explicitly opted in:
-    # metrics against a random body are garbage (VERDICT r2 weak #5)
-    smpl = find_smpl_model(allow_synthetic=args.allow_synthetic_smpl)
 
     d = cfg.DATASET
-    sample = np.zeros((1, cfg.EVAL.SEQLEN, d.HEIGHT, d.WIDTH, 3), np.float32)
-    variables = model.init(jax.random.PRNGKey(0), sample, smpl)
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats") or None
-    ckpt_path = args.checkpoint or args.pretrained  # reference CLI used --pretrained
-    if ckpt_path:
-        params, batch_stats = load_any_checkpoint_params(ckpt_path, params, batch_stats)
-    if is_ste:
-        params = fold_weight_standardization(params)
-
     dataset = VideoDataset(
         args.eval_ds, args.eval_set, build_eval_transforms(d.WIDTH, d.HEIGHT),
         seqlen=0, sample_pool=cfg.EVAL.SAMPLE_POOL, overlap=0,
@@ -89,10 +44,6 @@ def main():
 
     def eval_fwd(variables, images, J_regressor=None):
         return model.apply(variables, images, smpl, J_regressor=J_regressor)
-
-    variables = {"params": params}
-    if batch_stats:
-        variables["batch_stats"] = batch_stats
 
     evaluator = Evaluator(smpl)
     evaluator.run(

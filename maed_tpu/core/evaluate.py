@@ -29,7 +29,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from maed_tpu.core import config as cfg_mod
-from maed_tpu.ops.joints import JID_DICT, REGRESSOR_DICT
+from maed_tpu.ops.joints import (
+    J49_TO_H36M, J49_TO_J14, JID_DICT, REGRESSOR_DICT,
+)
 from maed_tpu.ops.metrics import eval_metrics, vert_error
 from maed_tpu.ops.smpl import SMPLModel, smpl_forward
 
@@ -152,10 +154,15 @@ class Evaluator:
             J_regressor = load_eval_regressor(
                 dataset_name, allow_missing=allow_missing_regressor)
         Jid = JID_DICT.get(dataset_name, None)
-        if REGRESSOR_DICT.get(dataset_name) is not None and J_regressor is None:
+        native_fallback = (REGRESSOR_DICT.get(dataset_name) is not None
+                           and J_regressor is None)
+        if native_fallback:
             # native-joint-bank smoke path (allow_missing): JID_DICT indexes
             # the REGRESSOR's bank, so selecting with it here would silently
-            # pick wrong joints from the 49-joint native bank
+            # pick wrong joints from the 49-joint native bank. The matching
+            # native selection depends on how the GT was stored (real 3dpw
+            # DBs pre-select 14 h36m-common joints; synthetic fixtures keep
+            # all 49) — resolved per batch from the GT's joint count below.
             Jid = None
         jreg_dev = None if J_regressor is None else jnp.asarray(J_regressor)
 
@@ -196,6 +203,13 @@ class Evaluator:
             # target joint subset (static per dataset)
             kp3d = np.asarray(target["kp_3d"])
             valid_joints = [j for j in range(kp3d.shape[2]) if kp3d[0, 0, j, -1]]
+            if native_fallback and Jid is None and kp3d.shape[2] != 49:
+                # match the GT's stored bank from the native 49-joint bank
+                Jid = {14: J49_TO_J14, 17: J49_TO_H36M}.get(kp3d.shape[2])
+                if Jid is None:
+                    raise ValueError(
+                        f"cannot run the native-joint-bank fallback: GT has "
+                        f"{kp3d.shape[2]} joints (no J49 mapping known)")
 
             per_clip = defaultdict(list)
             for i in range(sample_freq):

@@ -46,6 +46,7 @@ class Trainer:
         rank: int = 0,
         num_iters_per_epoch: int = -1,
         mesh=None,
+        allow_missing_regressor: bool = False,
     ):
         self.train_2d = InfiniteLoader(data_loaders["train_2d"]) if data_loaders.get("train_2d") else None
         self.train_3d = InfiniteLoader(data_loaders["train_3d"]) if data_loaders.get("train_3d") else None
@@ -74,10 +75,15 @@ class Trainer:
         self.eval_fwd = eval_fwd
         self._evaluator: Optional[Evaluator] = None
         # fail fast (not after the first epoch) if the eval protocol's
-        # regressor file is missing; reused by every validation epoch
+        # regressor file is missing; reused by every validation epoch.
+        # allow_missing_regressor (train.py --allow_synthetic_smpl) opts
+        # smoke runs into the warn-and-native-bank fallback instead.
         self._eval_ds = cfg.TRAIN.DATASET_EVAL.lower().replace("threedpw", "3dpw")
-        self._eval_jreg = (load_eval_regressor(self._eval_ds)
-                           if self.valid_loader is not None else None)
+        self._eval_jreg = (
+            load_eval_regressor(self._eval_ds,
+                                allow_missing=allow_missing_regressor)
+            if self.valid_loader is not None else None)
+        self._allow_missing_regressor = allow_missing_regressor
 
         self.start_epoch = cfg.TRAIN.START_EPOCH
         self.end_epoch = cfg.TRAIN.END_EPOCH
@@ -211,6 +217,7 @@ class Trainer:
             batch_size=self.cfg.EVAL.BATCH_SIZE,
             verbose=self.rank == 0,
             mesh=self.mesh,
+            allow_missing_regressor=self._allow_missing_regressor,
         )
         if self.writer is not None and self.rank == 0:
             for k, v in eval_dict.items():

@@ -41,8 +41,6 @@ def _use_fused_attention() -> bool:
     ops/attention.py for measurements. The kernels remain available for
     larger configurations and other TPU generations.
     """
-    import os
-
     from maed_tpu.ops.pallas_gate import spmd_active
 
     if spmd_active():
@@ -373,8 +371,6 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, seqlen: int = 1, deterministic: bool = True):
-        import os
-
         ln1 = _LNParams(self.dim, name="norm1")()
         # MAED_FUSED_QKV=1 fuses norm1 into a pallas LN+qkv kernel; default
         # off — measured on v5e, XLA's own qkv matmul (~177 TF/s) plus its

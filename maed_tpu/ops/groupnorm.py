@@ -119,8 +119,11 @@ def _gn_pallas(x, scale, bias, num_groups, eps, relu, residual=None):
     for i in range(g):
         gavg[i * per:(i + 1) * per, i * per:(i + 1) * per] = 1.0 / per
     gavg = jnp.asarray(gavg)
-    scale2 = scale.reshape(1, C).astype(x.dtype)
-    bias2 = bias.reshape(1, C).astype(x.dtype)
+    # keep the affine params f32 into the kernel: rounding them to a bf16
+    # activation dtype BEFORE the f32 mul/add would diverge from the plain
+    # path, which computes scale*rsqrt(var+eps) fully in f32
+    scale2 = scale.reshape(1, C).astype(jnp.float32)
+    bias2 = bias.reshape(1, C).astype(jnp.float32)
     ins = [x2, scale2, bias2, gavg]
     in_specs = [
         pl.BlockSpec((1, hw, C), lambda b: (b, 0, 0)),

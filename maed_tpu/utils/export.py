@@ -4,9 +4,13 @@ Serializes the jitted MAED inference step (images -> SMPL predictions) to a
 self-contained StableHLO artifact via `jax.export`. A serving host then
 deserializes and calls it with ZERO Python model code, flax, or checkpoint
 plumbing — the params are baked in as constants, weight standardization is
-pre-folded, and the executable is exactly the one `bench.py` measures
-(165 clips/s/chip on v5e). Cross-platform lowering means the artifact can
-be built on a CPU dev box and served on TPU (`--platform tpu`).
+pre-folded. Exported from a TPU-backed process, the executable is exactly
+the one `bench.py` measures (165 clips/s/chip on v5e). Cross-platform
+lowering also lets a CPU dev box build a TPU artifact (`--platform tpu`),
+with one caveat: the pallas-fused kernels gate on the BUILD process's
+backend, so a CPU-built TPU artifact contains the plain-XLA paths —
+functionally identical, a few percent slower (export warns when this
+happens; build on a TPU host for the benchmarked executable).
 
 The reference has no serving story (its eval path re-instantiates the torch
 model from source every run); this is the TPU-native deployment analogue of
@@ -52,6 +56,14 @@ def export_eval_forward(
     seqlen) shape — TPU-native static shapes; export several batch sizes
     for a bucketed server.
     """
+    if "tpu" in platforms and jax.default_backend() != "tpu":
+        import sys
+
+        print("WARNING: exporting a TPU artifact from a non-TPU process — "
+              "the pallas-fused kernels gate on the build backend and will "
+              "be lowered as their plain-XLA equivalents (correct, slightly "
+              "slower). Build on a TPU host for the benchmarked executable.",
+              file=sys.stderr)
     jreg = None if J_regressor is None else jnp.asarray(J_regressor)
 
     @functools.partial(jax.jit)
@@ -89,11 +101,9 @@ def main():
 
     honor_env_platform()
 
+    from maed_tpu.core.builder import build_eval_model
     from maed_tpu.core.config import get_cfg_defaults, update_cfg
     from maed_tpu.core.evaluate import load_eval_regressor
-    from maed_tpu.models import MAED
-    from maed_tpu.utils.checkpoint import fold_weight_standardization
-    from maed_tpu.utils.smpl_io import find_smpl_model
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--cfg", default=None)
@@ -108,31 +118,11 @@ def main():
     args = ap.parse_args()
 
     cfg = update_cfg(args.cfg) if args.cfg else get_cfg_defaults()
-    enc, dec = cfg.MODEL.ENCODER, cfg.MODEL.DECODER
-    is_ste = enc.BACKBONE.lower() == "ste"
-    model = MAED(
-        encoder=enc.BACKBONE, num_blocks=enc.NUM_BLOCKS,
-        num_heads=enc.NUM_HEADS, st_mode=enc.SPA_TEMP_MODE,
-        decoder=dec.BACKBONE, hidden_dim=dec.HIDDEN_DIM,
-        standardize_ws=not is_ste,
+    model, variables, smpl = build_eval_model(
+        cfg, checkpoint=args.checkpoint,
+        allow_synthetic_smpl=args.allow_synthetic_smpl,
     )
-    smpl = find_smpl_model(allow_synthetic=args.allow_synthetic_smpl)
-
     d = cfg.DATASET
-    sample = np.zeros((1, cfg.EVAL.SEQLEN, d.HEIGHT, d.WIDTH, 3), np.float32)
-    variables = model.init(jax.random.PRNGKey(0), sample, smpl)
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats") or None
-
-    from eval import load_any_checkpoint_params  # reuse the CLI loader
-
-    params, batch_stats = load_any_checkpoint_params(
-        args.checkpoint, params, batch_stats)
-    if is_ste:
-        params = fold_weight_standardization(params)
-    variables = {"params": params}
-    if batch_stats:
-        variables["batch_stats"] = batch_stats
 
     jreg = load_eval_regressor(args.eval_ds) if args.eval_ds else None
     blob = export_eval_forward(

@@ -30,14 +30,17 @@ def enable_persistent_cache(path: str | None = None):
     Full-model compiles are minutes (10-20 min for the flagship on TPU over
     the remote-compile tunnel, similar on a small CPU host) — without a disk
     cache every CLI invocation pays that again. Honors an explicit
-    JAX_COMPILATION_CACHE_DIR; defaults to ~/.cache/jax_maed_cache.
-    MAED_NO_CACHE=1 opts out (e.g. cold-compile benchmarking)."""
+    JAX_COMPILATION_CACHE_DIR; defaults to ~/.cache/jax_tpu_cache — the SAME
+    directory bench.py and the tools/ scripts pin, so a bench-warmed compile
+    is a hit for eval.py/train.py and vice versa (a split cache repays the
+    full-model compile once per entry point). MAED_NO_CACHE=1 opts out
+    (e.g. cold-compile benchmarking)."""
     import jax
 
     if os.environ.get("MAED_NO_CACHE") == "1":
         return
     cache = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
-             or os.path.expanduser("~/.cache/jax_maed_cache"))
+             or os.path.expanduser("~/.cache/jax_tpu_cache"))
     try:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)

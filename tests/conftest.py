@@ -34,3 +34,16 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+@pytest.fixture(autouse=True)
+def _reset_pallas_spmd_latch():
+    """Tests that build a mesh (dp-sharded Evaluator/Trainer) latch the
+    process-wide pallas SPMD kill-switch (ops/pallas_gate); without a reset
+    every later test sees the pallas gates forced off — an ordering
+    contamination the production latch semantics (one mesh per process)
+    never hit."""
+    yield
+    from maed_tpu.ops import pallas_gate
+
+    pallas_gate.set_mesh_devices(1)

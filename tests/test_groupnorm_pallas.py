@@ -69,3 +69,27 @@ def test_groupnormact_opt_in_path_matches(monkeypatch):
     assert GN.use_fused_groupnorm()  # interpret-mode gate
     got = mod.apply(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_fused_groupnorm_bf16_keeps_f32_affine(monkeypatch):
+    """bf16 activations: the kernel must consume the f32 scale/bias directly
+    (rounding them to bf16 first diverges from the plain path, which does
+    scale*rsqrt(var+eps) fully in f32 and only rounds the final product)."""
+    from maed_tpu.models.resnetv2 import GroupNormAct
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 7, 7, 64).astype(np.float32) * 3
+                    ).astype(jnp.bfloat16)
+    mod = GroupNormAct(num_groups=32, apply_act=True)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    # affine values with many mantissa bits so a bf16 round would show up
+    params = jax.tree.map(
+        lambda p: jnp.asarray(
+            (rng.randn(*p.shape) * 1.2345671).astype(np.float32)), params)
+    monkeypatch.setenv("MAED_FUSED_GN", "0")
+    want = np.asarray(mod.apply(params, x), np.float32)
+    monkeypatch.setenv("MAED_FUSED_GN", "1")
+    got = np.asarray(mod.apply(params, x), np.float32)
+    # both paths round to bf16 at the end; anything beyond 1-ulp-of-bf16
+    # noise means the kernel degraded the affine precision
+    np.testing.assert_allclose(got, want, rtol=1.6e-2, atol=1e-2)

@@ -100,8 +100,12 @@ def main():
                            has_batch_stats=bool(state.batch_stats),
                            donate=args.donate)
 
+    # print EVERY kernel gate so an A/B log header can never claim defaults
+    # while a non-default kernel was active
     knobs = {k: os.environ.get(k, "<default>") for k in (
-        "MAED_FUSED_MLP", "MAED_FUSED_MLP_TRAIN", "MAED_TEMPORAL_V2",
+        "MAED_FUSED_MLP", "MAED_FUSED_MLP_TRAIN", "MAED_FUSED_QKV",
+        "MAED_FUSED_QKV_TRAIN", "MAED_FUSED_GATE", "MAED_FUSED_GN",
+        "MAED_FUSED_ATTENTION", "MAED_PALLAS_ATTENTION", "MAED_TEMPORAL_V2",
         "MAED_PALLAS_LN", "MAED_PALLAS_LBS")}
     print(f"device={jax.devices()[0]} dtype={dtype.__name__} remat={args.remat} "
           f"knobs={knobs}", file=sys.stderr)

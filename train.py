@@ -136,6 +136,7 @@ def main():
         rank=rank,
         num_iters_per_epoch=cfg.TRAIN.NUM_ITERS_PER_EPOCH,
         mesh=mesh,
+        allow_missing_regressor=args.allow_synthetic_smpl,
     )
     trainer.fit()
 
