@@ -44,13 +44,20 @@ def load_any_checkpoint_params(path: str, params, batch_stats=None):
 
 
 def build_eval_model(cfg, checkpoint: str = "",
-                     allow_synthetic_smpl: bool = False):
+                     allow_synthetic_smpl: bool = False, dtype=None):
     """(model, variables, smpl_model) ready for `model.apply(variables, ...)`.
 
     StdConv weight standardization is folded into the loaded kernels, so
     the returned model runs the standardize_ws=False fast path (the config
     bench.py measures; identical outputs, ~20% faster hybrid stem).
+    `dtype` sets the activation dtype ('bf16'/'f32' strings or a jnp dtype);
+    default f32 matches the reference eval protocol, bf16 is the serving/
+    bench configuration (~2x the throughput on TPU, metric drift < 0.1 mm).
     """
+    import jax.numpy as jnp
+
+    if isinstance(dtype, str):
+        dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[dtype]
     enc, dec = cfg.MODEL.ENCODER, cfg.MODEL.DECODER
     is_ste = enc.BACKBONE.lower() == "ste"
     model = MAED(
@@ -58,6 +65,7 @@ def build_eval_model(cfg, checkpoint: str = "",
         num_heads=enc.NUM_HEADS, st_mode=enc.SPA_TEMP_MODE,
         decoder=dec.BACKBONE, hidden_dim=dec.HIDDEN_DIM,
         standardize_ws=not is_ste,
+        **({"dtype": dtype} if dtype is not None else {}),
     )
     smpl = find_smpl_model(allow_synthetic=allow_synthetic_smpl)
 

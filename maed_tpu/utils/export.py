@@ -47,14 +47,23 @@ def export_eval_forward(
     width: int = 224,
     J_regressor: Optional[np.ndarray] = None,
     platforms: Sequence[str] = ("tpu",),
-) -> bytes:
-    """Serialize the eval forward (params baked in) to StableHLO bytes.
+    bake_params: bool = True,
+):
+    """Serialize the eval forward to StableHLO bytes.
 
     `variables` should hold already-folded params (see
     `utils.checkpoint.fold_weight_standardization`) so the exported graph
     runs the standardize_ws=False fast path. One artifact per (batch,
     seqlen) shape — TPU-native static shapes; export several batch sizes
     for a bucketed server.
+
+    bake_params=True returns `bytes` with the params embedded as program
+    constants (single-file artifact, call with just images). The flagship's
+    ~300 MiB of constants can exceed program-size limits of remote-compile
+    proxies, so bake_params=False exports the params as ARGUMENTS instead:
+    returns (bytes, param_arrays_dict) where the dict maps flat '/'-joined
+    leaf names to numpy arrays (no flax/pytree machinery needed server-side)
+    and the callable takes (param_arrays_dict, images).
     """
     if "tpu" in platforms and jax.default_backend() != "tpu":
         import sys
@@ -65,29 +74,82 @@ def export_eval_forward(
               "slower). Build on a TPU host for the benchmarked executable.",
               file=sys.stderr)
     jreg = None if J_regressor is None else jnp.asarray(J_regressor)
+    img_spec = jax.ShapeDtypeStruct((batch_size, seqlen, height, width, 3),
+                                    jnp.float32)
+
+    if bake_params:
+        @functools.partial(jax.jit)
+        def fwd(images):
+            return model.apply(variables, images, smpl_model,
+                               J_regressor=jreg, deterministic=True)
+
+        exported = jax_export.export(fwd, platforms=list(platforms))(img_spec)
+        return bytes(exported.serialize())
+
+    # args-mode: a FLAT dict of leaves is the cross-host param container —
+    # deterministic ordering, no flax pytree registration required to call
+    flat = _flatten_variables(variables)
 
     @functools.partial(jax.jit)
-    def fwd(images):
-        return model.apply(variables, images, smpl_model, J_regressor=jreg,
+    def fwd(flat_params, images):
+        return model.apply(_unflatten_variables(flat_params, variables),
+                           images, smpl_model, J_regressor=jreg,
                            deterministic=True)
 
-    spec = jax.ShapeDtypeStruct((batch_size, seqlen, height, width, 3),
-                                jnp.float32)
-    exported = jax_export.export(fwd, platforms=list(platforms))(spec)
-    return bytes(exported.serialize())
+    param_spec = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+                  for k, v in flat.items()}
+    exported = jax_export.export(fwd, platforms=list(platforms))(
+        param_spec, img_spec)
+    host_flat = {k: np.asarray(v) for k, v in flat.items()}
+    return bytes(exported.serialize()), host_flat
+
+
+def _flatten_variables(variables) -> dict:
+    """Nested variables tree -> {'params/encoder/.../kernel': array} dict."""
+    out = {}
+
+    def visit(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                visit(f"{prefix}/{k}" if prefix else str(k), v)
+        else:
+            out[prefix] = node
+
+    visit("", variables)
+    return out
+
+
+def _unflatten_variables(flat: dict, template: dict):
+    """Inverse of _flatten_variables against the exporting tree's shape."""
+    out = {}
+
+    def build(prefix, node):
+        if isinstance(node, dict):
+            return {k: build(f"{prefix}/{k}" if prefix else str(k), v)
+                    for k, v in node.items()}
+        return flat[prefix]
+
+    return {k: build(str(k), v) for k, v in template.items()}
 
 
 def load_exported(blob: bytes):
     """Deserialize an exported artifact into a plain callable.
 
     The callable runs on whatever devices the current process sees
-    (jit-dispatched via `Exported.call`); inputs must match the exported
-    (batch, seqlen, H, W, 3) f32 spec exactly.
+    (jit-dispatched via `Exported.call`). Baked artifacts are called as
+    fwd(images); args-mode artifacts as fwd(flat_params_dict, images) with
+    the dict returned by export (or np.load of the CLI's .params.npz).
+    Inputs must match the exported specs exactly.
     """
     exported = jax_export.deserialize(blob)
 
-    def fwd(images):
-        return exported.call(jnp.asarray(images, jnp.float32))
+    if len(exported.in_avals) == 1:
+        def fwd(images):
+            return exported.call(jnp.asarray(images, jnp.float32))
+    else:
+        def fwd(flat_params, images):
+            return exported.call(dict(flat_params),
+                                 jnp.asarray(images, jnp.float32))
 
     fwd.in_avals = exported.in_avals
     fwd.platforms = exported.platforms
@@ -111,28 +173,45 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--platform", default="tpu", choices=("tpu", "cpu"))
+    ap.add_argument("--dtype", default="bf16", choices=("bf16", "f32"),
+                    help="activation dtype baked into the artifact; bf16 is "
+                    "the benchmarked serving config, f32 matches eval.py")
     ap.add_argument("--eval_ds", default="3dpw",
                     help="bakes this dataset's eval regressor into the "
                     "artifact ('' for the model's native joint bank)")
     ap.add_argument("--allow_synthetic_smpl", action="store_true")
+    ap.add_argument("--no_bake", action="store_true",
+                    help="export params as arguments instead of program "
+                    "constants: writes <out> (small program) + "
+                    "<out>.params.npz; serve as fwd(np.load(npz), images). "
+                    "Use when the baked program exceeds a compile-proxy "
+                    "size limit")
     args = ap.parse_args()
 
     cfg = update_cfg(args.cfg) if args.cfg else get_cfg_defaults()
     model, variables, smpl = build_eval_model(
         cfg, checkpoint=args.checkpoint,
-        allow_synthetic_smpl=args.allow_synthetic_smpl,
+        allow_synthetic_smpl=args.allow_synthetic_smpl, dtype=args.dtype,
     )
     d = cfg.DATASET
 
     jreg = load_eval_regressor(args.eval_ds) if args.eval_ds else None
-    blob = export_eval_forward(
+    result = export_eval_forward(
         model, variables, smpl, args.batch, cfg.EVAL.SEQLEN,
         d.HEIGHT, d.WIDTH, J_regressor=jreg, platforms=(args.platform,),
+        bake_params=not args.no_bake,
     )
+    extra = ""
+    if args.no_bake:
+        blob, flat = result
+        np.savez(args.out + ".params.npz", **flat)
+        extra = f" + {args.out}.params.npz"
+    else:
+        blob = result
     with open(args.out, "wb") as f:
         f.write(blob)
-    print(f"wrote {args.out}: {len(blob) / 2**20:.1f} MiB, "
-          f"platform={args.platform}, "
+    print(f"wrote {args.out}: {len(blob) / 2**20:.1f} MiB{extra}, "
+          f"platform={args.platform}, dtype={args.dtype}, "
           f"spec=({args.batch}, {cfg.EVAL.SEQLEN}, {d.HEIGHT}, {d.WIDTH}, 3)")
 
 

@@ -61,3 +61,31 @@ def test_export_rejects_wrong_shape(tiny_setup):
     fwd = load_exported(blob)
     with pytest.raises(Exception):
         fwd(x[:1])  # batch 1 != exported batch 2
+
+
+def test_export_args_mode_roundtrip(tiny_setup):
+    """bake_params=False: params travel as a flat numpy dict (saved/loaded
+    via npz), the program stays small, outputs match the baked artifact."""
+    import io
+
+    model, variables, smpl, x = tiny_setup
+    baked = export_eval_forward(model, variables, smpl, batch_size=2,
+                                seqlen=4, height=32, width=32,
+                                platforms=("cpu",))
+    blob, flat = export_eval_forward(model, variables, smpl, batch_size=2,
+                                     seqlen=4, height=32, width=32,
+                                     platforms=("cpu",), bake_params=False)
+    assert len(blob) < len(baked) / 2  # constants moved out of the program
+
+    # npz round-trip (the CLI's on-disk format for the param side-file)
+    buf = io.BytesIO()
+    np.savez(buf, **flat)
+    buf.seek(0)
+    loaded = np.load(buf)
+
+    fwd = load_exported(blob)
+    got = fwd(loaded, x)
+    want = load_exported(baked)(x)
+    for k in ("theta", "verts", "kp_3d"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=2e-2, atol=1e-4, err_msg=k)
