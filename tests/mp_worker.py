@@ -66,6 +66,64 @@ def main():
         with open(os.path.join(outdir, "rank0_only.txt"), "w") as f:
             f.write("written by process 0 only\n")
 
+    # ---- the REAL train step over a cross-process global mesh ------------ #
+    # This is the DCN-analog path (GSPMD gradient all-reduce spanning
+    # process boundaries over gloo) that single-process virtual meshes can
+    # never exercise. Both processes feed the same host batch; shard_batch
+    # scatters it over the 4 global devices (2 per process); the replicated
+    # loss and updated params must agree bit-exactly across processes.
+    import jax.numpy as jnp
+
+    from maed_tpu.core.loss import LossWeights
+    from maed_tpu.models import MAED
+    from maed_tpu.parallel.mesh import make_mesh, param_shardings, shard_batch
+    from maed_tpu.parallel.train_step import (
+        init_train_state, make_optimizer, make_train_step,
+    )
+
+    class _Optim:
+        OPTIM, LR, WD, MOMENTUM = "Adam", 1e-3, 1e-5, 0.9
+        WARMUP_EPOCH, WARMUP_FACTOR, MILESTONES = 2, 0.1, [4, 6]
+
+    model = MAED(encoder="ste", num_blocks=1, num_heads=2,
+                 st_mode="parallel", decoder="ktd", hidden_dim=32)
+    smpl = synthetic_smpl_model(num_verts=64)
+    tx = make_optimizer(_Optim, steps_per_epoch=10)
+    sample = jnp.zeros((1, 2, 32, 32, 3), jnp.float32)
+    state = init_train_state(model, tx, sample, smpl, jax.random.PRNGKey(0))
+    step = make_train_step(model, tx, smpl, LossWeights(), donate=False)
+
+    mesh = make_mesh(dp=4, tp=1)
+    assert mesh.size == 4  # spans both processes
+    shardings = param_shardings(state.params, mesh)
+    state = state._replace(
+        params=jax.tree.map(jax.device_put, state.params, shardings))
+
+    g = np.random.RandomState(7)  # identical batch on every process
+    kp2d = g.randn(2, 2, 49, 3).astype(np.float32)
+    kp2d[..., 2] = 1.0
+    vid = {
+        "images": g.randn(4, 2, 32, 32, 3).astype(np.float32),
+        "target_3d": {
+            "kp_2d": kp2d,
+            "kp_3d": np.concatenate(
+                [g.randn(2, 2, 49, 3), np.ones((2, 2, 49, 1))],
+                axis=3).astype(np.float32),
+            "theta": (g.randn(2, 2, 85) * 0.1).astype(np.float32),
+            "w_smpl": np.ones((2, 2), np.float32),
+        },
+        "target_2d": {"kp_2d": kp2d.copy()},
+    }
+    vid = shard_batch(vid, mesh)
+    assert vid["images"].sharding.spec[0] == "dp"
+
+    new_state, metrics = step(state, vid, None)
+    loss = float(np.asarray(jax.device_get(metrics["loss"])))
+    # fingerprint the (replicated) updated params: processes must agree
+    psum = float(sum(
+        np.float64(np.asarray(jax.device_get(jnp.sum(jnp.abs(p)))))
+        for p in jax.tree.leaves(new_state.params)))
+
     with open(os.path.join(outdir, f"result_{pid}.json"), "w") as f:
         json.dump({
             "process_count": jax.process_count(),
@@ -75,6 +133,8 @@ def main():
             "n_steps": n_steps,
             "synced": synced,
             "total": total,
+            "mesh_loss": loss,
+            "mesh_param_fingerprint": psum,
         }, f)
 
     jax.distributed.shutdown()

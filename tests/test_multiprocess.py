@@ -29,10 +29,13 @@ def test_two_process_distributed(tmp_path):
     worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    # one local CPU device per process (strip the 8-device test flag)
+    # TWO local CPU devices per process (replace the 8-device test flag):
+    # the global mesh then spans 4 devices across 2 processes, so the train
+    # step's gradient all-reduce crosses a process boundary (the DCN path)
     env["XLA_FLAGS"] = " ".join(
-        f for f in env.get("XLA_FLAGS", "").split()
-        if "host_platform_device_count" not in f
+        [f for f in env.get("XLA_FLAGS", "").split()
+         if "host_platform_device_count" not in f]
+        + ["--xla_force_host_platform_device_count=2"]
     )
     env.pop("JAX_NUM_PROCESSES", None)
 
@@ -55,11 +58,11 @@ def test_two_process_distributed(tmp_path):
         with open(tmp_path / f"result_{i}.json") as f:
             res.append(json.load(f))
 
-    # real 2-process runtime: 2 processes, 1 local + 2 global devices each
+    # real 2-process runtime: 2 processes, 2 local + 4 global devices each
     for r in res:
         assert r["process_count"] == 2
-        assert r["local_devices"] == 1
-        assert r["global_devices"] == 2
+        assert r["local_devices"] == 2
+        assert r["global_devices"] == 4
 
     # loader shards: equal length and disjoint modulo the wrap padding
     # (11 samples over 2 hosts -> 6 each; exactly one sample appears twice)
@@ -82,3 +85,10 @@ def test_two_process_distributed(tmp_path):
 
     # rank gating: exactly process 0 wrote the artifact
     assert (tmp_path / "rank0_only.txt").is_file()
+
+    # the real train step executed over the cross-process global mesh:
+    # finite loss, and both processes hold bit-identical replicated results
+    # (the gradient all-reduce crossed the process boundary over gloo)
+    assert np.isfinite(res[0]["mesh_loss"]) and res[0]["mesh_loss"] > 0
+    assert res[0]["mesh_loss"] == res[1]["mesh_loss"]
+    assert res[0]["mesh_param_fingerprint"] == res[1]["mesh_param_fingerprint"]
