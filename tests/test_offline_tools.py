@@ -129,3 +129,27 @@ def test_batch_visualize_vid_preds_shapes(rng):
     vid = batch_visualize_vid_preds(video, preds, faces, max_video=2)
     assert vid.shape == (2, t, hw, 4 * hw, 3)  # no target -> 4 panels
     assert vid.dtype == np.uint8
+
+
+def test_eval_released_preflight_contract(tmp_path):
+    """scripts/eval_released.sh must list EVERY missing artifact with
+    placement instructions and exit nonzero before touching the model."""
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "scripts", "eval_released.sh")
+    r = subprocess.run(["sh", script, str(tmp_path / "nope.pth.tar")],
+                       capture_output=True, text=True, timeout=60,
+                       cwd=str(tmp_path))
+    assert r.returncode != 0
+    out = r.stdout + r.stderr
+    assert "nope.pth.tar" in out and "MISSING:" in out
+    # artifacts the repo doesn't hold must each be reported with its path
+    # (skip any a user may have really placed under data/)
+    for rel, name in (("data/smpl_data/SMPL_NEUTRAL.pkl", "SMPL_NEUTRAL.pkl"),
+                      ("data/smpl_data/J_regressor_extra.npy", "J_regressor_extra.npy"),
+                      ("data/smpl_data/J_regressor_h36m.npy", "J_regressor_h36m.npy"),
+                      ("data/database/3dpw_test_db.pt", "3dpw_test_db.pt")):
+        if not os.path.exists(os.path.join(repo, rel)):
+            assert name in out, name
