@@ -95,5 +95,35 @@ def main():
     }))
 
 
+def _wait_for_backend():
+    """The axon tunnel can be transiently down (observed: ~1h outage after a
+    killed long remote compile), and a dead tunnel can either raise OR hang
+    backend init indefinitely. Probe it in a killable subprocess and wait it
+    out (bounded), so an unattended bench run survives the outage."""
+    import subprocess
+
+    retries = int(os.environ.get("MAED_BENCH_RETRIES", "6"))
+    for i in range(retries + 1):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                timeout=240, capture_output=True,
+            )
+            if r.returncode == 0:
+                return
+            reason = (r.stderr or b"").decode(errors="replace")[-200:]
+        except subprocess.TimeoutExpired:
+            reason = "backend init hung >240s"
+        if i == retries:
+            print(f"[bench] backend still unavailable after {retries} "
+                  f"retries: {reason}", file=sys.stderr)
+            return  # let main() fail loudly with the real error
+        print(f"[bench] backend unavailable ({reason.strip()}); "
+              f"retry {i + 1}/{retries} in 180s", file=sys.stderr)
+        time.sleep(180)
+
+
 if __name__ == "__main__":
+    _wait_for_backend()
     main()
