@@ -13,9 +13,12 @@ utils.torch_convert. Asserts:
   * the converted tree fills our flax param tree EXACTLY (both directions,
     shapes included) for the ste encoder, KTD, SPIN, and a torchvision-naming
     resnet50 fixture ('cnn'),
-  * encoder OUTPUT parity: the reference torch forward and our flax forward
-    produce the same features from the same converted weights (f64, 1e-6) —
-    closing the "oracles encode the builder's reading" loophole.
+  * OUTPUT parity: the reference torch forwards and our flax forwards
+    produce the same results from the same converted weights (f64, 1e-6) for
+    the ste encoder, the KTD chain, the SPIN iterative regressor (rotmat +
+    theta; SMPL-dependent outputs are covered by the SMPL oracle tests), and
+    the camera projection — closing the "oracles encode the builder's
+    reading" loophole for every learned component.
 """
 
 import collections.abc
@@ -88,10 +91,21 @@ def ref_models(tmp_path_factory):
 
     class _FakeSMPL:
         """Param-free stand-in: reference checkpoints' smpl.* buffers are
-        skipped by the converter anyway."""
+        skipped by the converter anyway. Callable so the decoders' full
+        forward (get_output) runs — returns zero vertices/joints, which only
+        poisons the SMPL-dependent outputs (verts/kp_2d/kp_3d); the
+        SMPL-independent ones (rotmat, theta) stay exact for parity checks."""
 
         def __init__(self, *a, **k):
             pass
+
+        def __call__(self, betas=None, body_pose=None, global_orient=None,
+                     pose2rot=False, **k):
+            nt = betas.shape[0]
+            return types.SimpleNamespace(
+                vertices=torch.zeros(nt, 6890, 3, dtype=betas.dtype),
+                joints=torch.zeros(nt, 49, 3, dtype=betas.dtype),
+            )
 
     smplmod.SMPL = _FakeSMPL
     smplmod.SMPL_MODEL_DIR = str(tmp)
@@ -285,3 +299,124 @@ def test_ste_encoder_forward_parity_with_reference(ref_models):
                          deterministic=True)
 
     np.testing.assert_allclose(np.asarray(out), ref_out, rtol=1e-6, atol=1e-6)
+
+
+def _assert_decoder_outputs_match(ref_out, our_out, torch):
+    """Compare the SMPL-independent decoder outputs (the learned regression):
+    rotmat, and theta's cam / axis-angle pose / shape slices. verts/kp_2d/
+    kp_3d route through the FakeSMPL's zero mesh and are checked by the
+    separate SMPL oracle tests instead."""
+    for name, ref_v, our_v in [
+        ("rotmat", ref_out["rotmat"], our_out["rotmat"]),
+        ("theta.cam", ref_out["theta"][:, :3], our_out["theta"][:, :3]),
+        ("theta.pose_aa", ref_out["theta"][:, 3:75], our_out["theta"][:, 3:75]),
+        ("theta.shape", ref_out["theta"][:, 75:], our_out["theta"][:, 75:]),
+    ]:
+        np.testing.assert_allclose(
+            np.asarray(our_v), ref_v.detach().numpy(),
+            rtol=1e-6, atol=1e-6, err_msg=name)
+
+
+def test_ktd_forward_parity_with_reference(ref_models):
+    """The real reference KTD forward IS the oracle (f64, converted weights):
+    trunk, 24-step ancestor-conditioned chain, rot6d->rotmat, rotmat->aa."""
+    from maed_tpu.models.ktd import KTD as OurKTD
+
+    torch = ref_models.torch
+    prev_dtype = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)  # K/eye/zeros in projection
+    try:
+        torch.manual_seed(0)
+        ref = ref_models.ktd.KTD(feat_dim=32, hidden_dim=16).double().eval()
+        sd = _state_dict_np(ref, "decoder.")
+        params, _, unmatched = convert_state_dict(sd)
+        assert unmatched == []
+
+        rng = np.random.RandomState(2)
+        x = rng.randn(5, 32).astype(np.float64)
+
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x), seqlen=1)
+    finally:
+        torch.set_default_dtype(prev_dtype)
+
+    with jax.enable_x64(True):
+        ours = OurKTD(hidden_dim=16, dtype=jnp.float64)
+        dec_params = jax.tree.map(
+            lambda a: jnp.asarray(a, jnp.float64), params["decoder"])
+        our_out = ours.apply({"params": dec_params}, jnp.asarray(x),
+                             synthetic_smpl_model(num_verts=64),
+                             deterministic=True)
+
+    _assert_decoder_outputs_match(ref_out, our_out, torch)
+
+
+def test_spin_forward_parity_with_reference(ref_models, tmp_path):
+    """The real reference SPIN Regressor forward IS the oracle (f64): the
+    3-iteration residual refinement from shared mean-param init."""
+    from maed_tpu.models.spin import IterativeRegressor
+
+    torch = ref_models.torch
+    # identical mean-param init on both sides (identity 6D rotations)
+    pose = np.tile(np.array([1, 0, 0, 0, 1, 0], np.float32), 24)
+    shape = np.zeros(10, np.float32)
+    cam = np.array([0.9, 0.0, 0.0], np.float32)
+    mean = tmp_path / "mean_params.npz"
+    np.savez(mean, pose=pose, shape=shape, cam=cam)
+
+    prev_dtype = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        torch.manual_seed(0)
+        ref = ref_models.spin.Regressor(
+            smpl_mean_params=str(mean), feat_dim=32, hidden_dim=16,
+        ).double().eval()
+        sd = _state_dict_np(ref, "decoder.")
+        params, _, unmatched = convert_state_dict(sd)
+        assert unmatched == []
+
+        rng = np.random.RandomState(3)
+        x = rng.randn(5, 32).astype(np.float64)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x), seqlen=1)
+    finally:
+        torch.set_default_dtype(prev_dtype)
+
+    with jax.enable_x64(True):
+        ours = IterativeRegressor(
+            hidden_dim=16, dtype=jnp.float64,
+            init_pose=tuple(pose.tolist()), init_shape=tuple(shape.tolist()),
+            init_cam=tuple(cam.tolist()))
+        dec_params = jax.tree.map(
+            lambda a: jnp.asarray(a, jnp.float64), params["decoder"])
+        our_out = ours.apply({"params": dec_params}, jnp.asarray(x),
+                             synthetic_smpl_model(num_verts=64),
+                             deterministic=True)
+
+    _assert_decoder_outputs_match(ref_out, our_out, torch)
+
+
+def test_projection_parity_with_reference(ref_models):
+    """Our weak-perspective projection vs the reference's focal-5000
+    perspective formulation (spin.py:113-157), same joints and camera."""
+    from maed_tpu.ops.geometry import weak_perspective_projection
+
+    torch = ref_models.torch
+    rng = np.random.RandomState(4)
+    joints = rng.randn(6, 49, 3).astype(np.float64)
+    cam = np.stack([rng.uniform(0.6, 1.4, 6), rng.uniform(-1, 1, 6),
+                    rng.uniform(-1, 1, 6)], axis=1)
+
+    prev_dtype = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        with torch.no_grad():
+            ref_kp = ref_models.spin.projection(
+                torch.from_numpy(joints), torch.from_numpy(cam)).numpy()
+    finally:
+        torch.set_default_dtype(prev_dtype)
+
+    with jax.enable_x64(True):
+        ours = weak_perspective_projection(jnp.asarray(joints),
+                                           jnp.asarray(cam))
+    np.testing.assert_allclose(np.asarray(ours), ref_kp, rtol=1e-6, atol=1e-6)
