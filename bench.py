@@ -102,7 +102,9 @@ def _wait_for_backend():
     out (bounded), so an unattended bench run survives the outage."""
     import subprocess
 
-    retries = int(os.environ.get("MAED_BENCH_RETRIES", "6"))
+    # default budget ~85 min (probe <=240s + 180s sleep per cycle): the one
+    # observed tunnel outage lasted ~1h, so 6 cycles (~42 min) was too tight
+    retries = int(os.environ.get("MAED_BENCH_RETRIES", "12"))
     for i in range(retries + 1):
         try:
             r = subprocess.run(
