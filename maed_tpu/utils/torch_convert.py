@@ -246,3 +246,124 @@ def convert_torch_checkpoint(path: str, reference_params=None) -> dict:
     if unmatched:
         print(f"[torch_convert] {len(unmatched)} unmatched keys, e.g. {unmatched[:5]}")
     return {"params": params, "batch_stats": batch_stats}
+
+
+# --------------------------------------------------------------------------- #
+# inverse direction: flax params -> reference torch state_dict
+# --------------------------------------------------------------------------- #
+
+def _flatten(tree: dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        path = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, path))
+        else:
+            out[path] = np.asarray(v)
+    return out
+
+
+# (flax-path regex, torch-key replacement) — the exact inverse of
+# translate_torch_key's renames; value layout is handled by leaf suffix.
+_INVERSE_RENAMES = [
+    (r"^encoder/patch_embed/backbone/stem_conv/",
+     r"encoder.patch_embed.backbone.stem.conv/"),
+    (r"^encoder/patch_embed/backbone/stem_norm/GroupNorm_0/",
+     r"encoder.patch_embed.backbone.stem.norm/"),
+    (r"^encoder/patch_embed/backbone/stage(\d+)/block(\d+)/downsample/conv/",
+     r"encoder.patch_embed.backbone.stages.\1.blocks.\2.downsample.conv/"),
+    (r"^encoder/patch_embed/backbone/stage(\d+)/block(\d+)/downsample/norm/GroupNorm_0/",
+     r"encoder.patch_embed.backbone.stages.\1.blocks.\2.downsample.norm/"),
+    (r"^encoder/patch_embed/backbone/stage(\d+)/block(\d+)/(norm\d)/GroupNorm_0/",
+     r"encoder.patch_embed.backbone.stages.\1.blocks.\2.\3/"),
+    (r"^encoder/patch_embed/backbone/stage(\d+)/block(\d+)/",
+     r"encoder.patch_embed.backbone.stages.\1.blocks.\2."),
+    (r"^encoder/blocks_(\d+)/", r"encoder.blocks.\1."),
+    (r"^encoder/pre_logits/", r"encoder.pre_logits.fc/"),
+    (r"^decoder/joint_reg(\d+)/", r"decoder.joint_regs.\1."),
+    # torchvision resnet50 ('cnn' encoder)
+    (r"^encoder/layer(\d)_(\d+)/downsample_conv/", r"encoder.layer\1.\2.downsample.0/"),
+    (r"^encoder/layer(\d)_(\d+)/downsample_bn/", r"encoder.layer\1.\2.downsample.1/"),
+    (r"^encoder/layer(\d)_(\d+)/", r"encoder.layer\1.\2."),
+]
+
+
+def translate_flax_path(path: str, value: np.ndarray, collection: str = "params"):
+    """flax param path -> (torch_key, torch_value). Inverse of
+    translate_torch_key; round-trip tested, and the produced key set is
+    checked against the REAL reference modules' state_dicts
+    (tests/test_reference_naming.py)."""
+    p = path
+    for pat, repl in _INVERSE_RENAMES:
+        p = re.sub(pat, repl, p)
+    p = p.replace("/", ".")
+
+    leaf = p.rsplit(".", 1)[-1]
+    stem = p[: -len(leaf) - 1]
+    if collection == "batch_stats":
+        field = {"mean": "running_mean", "var": "running_var"}[leaf]
+        return f"{stem}.{field}", value
+    if leaf == "kernel":
+        if value.ndim == 4:
+            return f"{stem}.weight", np.transpose(value, (3, 2, 0, 1))
+        return f"{stem}.weight", np.transpose(value, (1, 0))
+    if leaf == "scale":
+        return f"{stem}.weight", value
+    return p, value
+
+
+def convert_params_to_state_dict(
+    params: dict, batch_stats: dict | None = None, prefix: str = ""
+) -> Dict[str, np.ndarray]:
+    """flax (params, batch_stats) -> reference-named torch state_dict.
+
+    The inverse of convert_state_dict: lets a model trained here be loaded
+    by the reference codebase (`model.load_state_dict(..., strict=False)` —
+    the reference's own eval load path drops smpl buffers the same way,
+    /root/reference/eval.py:26-35). prefix='module.' reproduces the DDP
+    naming of the published checkpoints. BN num_batches_tracked is
+    synthesized (torch tracks it; it does not affect eval-mode math)."""
+    sd: Dict[str, np.ndarray] = {}
+    for path, v in _flatten(params).items():
+        k, tv = translate_flax_path(path, v, "params")
+        sd[prefix + k] = tv
+    for path, v in _flatten(batch_stats or {}).items():
+        k, tv = translate_flax_path(path, v, "batch_stats")
+        sd[prefix + k] = tv
+        sd[prefix + k.rsplit(".", 1)[0] + ".num_batches_tracked"] = np.asarray(
+            0, np.int64)
+    return sd
+
+
+def main():
+    """CLI: export an orbax checkpoint to a reference-compatible .pth.tar."""
+    import argparse
+
+    import torch
+
+    from maed_tpu.utils.checkpoint import load_checkpoint
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--checkpoint", required=True,
+                    help="orbax checkpoint dir (trainer output)")
+    ap.add_argument("--out", required=True, help=".pth.tar to write")
+    ap.add_argument("--prefix", default="module.",
+                    help="state_dict key prefix (published checkpoints use "
+                    "the DDP 'module.'; '' for a bare module)")
+    args = ap.parse_args()
+
+    ckpt = load_checkpoint(args.checkpoint)
+    sd = convert_params_to_state_dict(
+        ckpt["params"], ckpt.get("batch_stats") or {}, prefix=args.prefix)
+    out = {
+        "state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
+                       for k, v in sd.items()},
+        "epoch": int(np.asarray(ckpt.get("epoch", 0))),
+        "performance": float(np.asarray(ckpt.get("performance", 0.0))),
+    }
+    torch.save(out, args.out)
+    print(f"wrote {args.out}: {len(sd)} tensors, prefix='{args.prefix}'")
+
+
+if __name__ == "__main__":
+    main()

@@ -301,6 +301,60 @@ def test_ste_encoder_forward_parity_with_reference(ref_models):
     np.testing.assert_allclose(np.asarray(out), ref_out, rtol=1e-6, atol=1e-6)
 
 
+def _assert_inverse_roundtrip(sd, skip=()):
+    """convert_state_dict -> convert_params_to_state_dict must reproduce the
+    REAL reference state_dict exactly (keys and values), proving the
+    inverse/export direction emits the reference's naming and layouts."""
+    from maed_tpu.utils.torch_convert import convert_params_to_state_dict
+
+    params, batch_stats, unmatched = convert_state_dict(sd)
+    assert unmatched == []
+    back = convert_params_to_state_dict(params, batch_stats)
+
+    want = {k: v for k, v in sd.items()
+            if not any(k.endswith(s) or s in k for s in skip)}
+    assert sorted(back) == sorted(want), (
+        sorted(set(back) ^ set(want))[:8])
+    for k, v in want.items():
+        np.testing.assert_array_equal(back[k], v, err_msg=k)
+
+
+def test_inverse_conversion_reproduces_ste_naming(ref_models):
+    vit = ref_models.vt.vit_custom_resnet50_224_in21k(
+        2, 2, "parallel", pretrained=False, num_classes=-1)
+    _assert_inverse_roundtrip(_state_dict_np(vit, "encoder."))
+
+
+def test_inverse_conversion_reproduces_ktd_naming(ref_models):
+    ktd = ref_models.ktd.KTD(feat_dim=32, hidden_dim=16)
+    _assert_inverse_roundtrip(_state_dict_np(ktd, "decoder."))
+
+
+def test_inverse_conversion_reproduces_spin_naming(ref_models):
+    spin = ref_models.spin.Regressor(feat_dim=32, hidden_dim=16)
+    # init_* are torch buffers the flax model carries as static config
+    _assert_inverse_roundtrip(
+        _state_dict_np(spin, "decoder."),
+        skip=("init_pose", "init_shape", "init_cam"))
+
+
+def test_inverse_conversion_reproduces_cnn_naming():
+    sd = {"encoder." + k: v for k, v in _torchvision_resnet50_fixture().items()}
+    # fc head is dropped on import (the reference drops it too); the
+    # synthesized num_batches_tracked counters come back as int64 zeros
+    from maed_tpu.utils.torch_convert import convert_params_to_state_dict
+
+    params, batch_stats, unmatched = convert_state_dict(sd)
+    assert unmatched == []
+    back = convert_params_to_state_dict(params, batch_stats)
+    want = {k: v for k, v in sd.items() if not k.startswith("encoder.fc.")}
+    assert sorted(back) == sorted(want)
+    for k, v in want.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        np.testing.assert_array_equal(back[k], v, err_msg=k)
+
+
 def _assert_decoder_outputs_match(ref_out, our_out, torch):
     """Compare the SMPL-independent decoder outputs (the learned regression):
     rotmat, and theta's cam / axis-angle pose / shape slices. verts/kp_2d/
