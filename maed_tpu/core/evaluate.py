@@ -236,11 +236,14 @@ class Evaluator:
                 self.accumulators[out_key].append(merged)
 
             flat = lambda x: np.asarray(x).reshape((-1,) + np.asarray(x).shape[2:])
-            self.accumulators["target_j3d"].append(flat(kp3d[:, :, valid_joints])[valid_seq])
-            self.accumulators["target_j2d"].append(
-                flat(np.asarray(target["kp_2d"])[:, :, valid_joints])[valid_seq]
-            )
-            self.accumulators["target_theta"].append(flat(target["theta"])[valid_seq])
+            if valid_joints:
+                self.accumulators["target_j3d"].append(flat(kp3d[:, :, valid_joints])[valid_seq])
+                self.accumulators["target_j2d"].append(
+                    flat(np.asarray(target["kp_2d"])[:, :, valid_joints])[valid_seq]
+                )
+                self.accumulators["target_theta"].append(flat(target["theta"])[valid_seq])
+            # else: GT-free inference (demo.py) — predictions only; calling
+            # evaluate() afterwards has nothing to score and raises
 
             if "instance_id" in target:
                 ids = np.reshape(np.array(target["instance_id"]), (-1,))[valid_seq]
@@ -376,8 +379,11 @@ class Evaluator:
         return gates
 
     def save_result(self, save_path):
+        import os
+
         import joblib
 
+        os.makedirs(save_path, exist_ok=True)
         save_fields = ["pred_theta", "pred_verts", "paths", "bboxes"]
         acc = {k: np.concatenate(v, axis=0) for k, v in self.accumulators.items()
                if k in save_fields}

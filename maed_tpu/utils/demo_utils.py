@@ -33,16 +33,34 @@ def convert_crop_cam_to_orig_img(cam: np.ndarray, bbox: np.ndarray,
 
 def video_to_images(vid_file: str, img_folder: str | None = None,
                     return_info: bool = False):
-    if shutil.which("ffmpeg") is None:
-        raise RuntimeError("ffmpeg is not available in this environment")
     if img_folder is None:
         img_folder = osp.join("/tmp", osp.basename(vid_file).replace(".", "_"))
     os.makedirs(img_folder, exist_ok=True)
-    command = [
-        "ffmpeg", "-i", vid_file, "-f", "image2", "-v", "error",
-        f"{img_folder}/%06d.png",
-    ]
-    subprocess.run(command, check=True)
+    if shutil.which("ffmpeg") is not None:
+        command = [
+            "ffmpeg", "-i", vid_file, "-f", "image2", "-v", "error",
+            f"{img_folder}/%06d.png",
+        ]
+        subprocess.run(command, check=True)
+    else:
+        # ffmpeg-free fallback: decode with OpenCV (same %06d.png layout,
+        # 1-based like ffmpeg's image2 muxer)
+        import cv2
+
+        cap = cv2.VideoCapture(vid_file)
+        if not cap.isOpened():
+            raise RuntimeError(f"cannot open video {vid_file} "
+                               "(no ffmpeg and cv2 failed)")
+        i = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            i += 1
+            cv2.imwrite(osp.join(img_folder, f"{i:06d}.png"), frame)
+        cap.release()
+        if i == 0:
+            raise RuntimeError(f"no frames decoded from {vid_file}")
     if return_info:
         import cv2
 

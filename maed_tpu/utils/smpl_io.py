@@ -95,7 +95,11 @@ def synthetic_smpl_model(num_verts: int = 400, seed: int = 0) -> SMPLModel:
     J_regressor_extra = np.abs(rng.rand(9, V)).astype(np.float32)
     J_regressor_extra /= J_regressor_extra.sum(axis=1, keepdims=True)
     vertex_joint_ids = rng.choice(V, size=21, replace=V < 21)
+    # a valid (if meaningless) triangulation so rendering paths are drivable
+    idx = np.arange(V, dtype=np.int32)
+    faces = np.stack([idx, np.roll(idx, 1), np.roll(idx, 2)], axis=1)
     return make_model(
+        faces=faces,
         v_template=v_template,
         shapedirs=shapedirs,
         posedirs_raw=posedirs_raw,

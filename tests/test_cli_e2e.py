@@ -108,9 +108,23 @@ def test_train_then_eval_cli(tmp_path):
         [sys.executable, osp.join(REPO, "eval.py"), "--cfg", cfg_path,
          "--checkpoint", osp.join(logdir, best[0]),
          "--eval_ds", "syn3d", "--eval_set", "test",
+         "--output_path", osp.join(root, "evalout"),
          "--allow_synthetic_smpl"],
         cwd=root, env=env, capture_output=True, text=True, timeout=900,
     )
     out = r.stdout + r.stderr
     assert r.returncode == 0, f"eval.py failed:\n{out[-3000:]}"
     assert "pa-mpjpe" in out.lower(), out[-2000:]
+
+    # the eval result feeds visualize.py (reference flow: eval.py ->
+    # inference.pkl -> visualize.py, /root/reference/visualize.py:13-63)
+    pkl = osp.join(root, "evalout", "inference.pkl")
+    assert osp.isfile(pkl), os.listdir(osp.join(root, "evalout"))
+    r = subprocess.run(
+        [sys.executable, osp.join(REPO, "visualize.py"), "--input_file", pkl,
+         "--output_folder", osp.join(root, "vis"), "--allow_synthetic_smpl"],
+        cwd=root, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, f"visualize.py failed:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}"
+    rendered = os.listdir(osp.join(root, "vis"))
+    assert rendered and all(n.endswith(".jpg") for n in rendered)
