@@ -23,7 +23,7 @@ def test_all_modules_import():
 
 
 def test_clis_parse_help():
-    for cli in ("train.py", "eval.py", "visualize.py"):
+    for cli in ("train.py", "eval.py", "visualize.py", "demo.py", "serve.py"):
         r = subprocess.run(
             [sys.executable, cli, "--help"], capture_output=True, text=True,
             cwd="/root/repo",
