@@ -22,14 +22,40 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
-    """Build a ('dp', 'tp') mesh. dp defaults to n_devices // tp."""
+def make_mesh(dp: Optional[int] = None, tp: int = 1, dcn: int = 1,
+              devices=None) -> Mesh:
+    """Build a ('dp', 'tp') mesh; dcn > 1 adds a leading 'dcn' axis.
+
+    dp defaults to n_devices // (tp * dcn). The 'dcn' axis is outer data
+    parallelism across slice boundaries (the reference's 2-node NCCL layout,
+    /root/reference/train.py:166-184): batches shard over ('dcn', 'dp')
+    jointly, so the gradient all-reduce GSPMD inserts becomes a hierarchical
+    ICI-then-DCN reduction. On real multi-slice TPU the axis is laid out
+    along actual slice boundaries via create_hybrid_device_mesh; elsewhere
+    (CPU tests, explicit device lists) it falls back to a plain reshape —
+    same program, same collectives, only the physical placement differs.
+    """
+    if dcn > 1 and devices is None:
+        try:
+            from jax.experimental import mesh_utils
+
+            arr = mesh_utils.create_hybrid_device_mesh(
+                ici_mesh_shape=(1, dp or (len(jax.devices()) // (tp * dcn)), tp),
+                dcn_mesh_shape=(dcn, 1, 1),
+            )
+            return Mesh(arr, axis_names=("dcn", "dp", "tp"))
+        except Exception:
+            pass  # no real slice topology (CPU/virtual devices): reshape
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp is None:
-        dp = n // tp
-    assert dp * tp <= n, f"mesh {dp}x{tp} needs {dp * tp} devices, have {n}"
-    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+        dp = n // (tp * dcn)
+    need = dp * tp * dcn
+    assert need <= n, f"mesh {dcn}x{dp}x{tp} needs {need} devices, have {n}"
+    if dcn > 1:
+        arr = np.asarray(devices[:need]).reshape(dcn, dp, tp)
+        return Mesh(arr, axis_names=("dcn", "dp", "tp"))
+    arr = np.asarray(devices[:need]).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))
 
 
@@ -63,9 +89,13 @@ def param_shardings(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
+def _data_axes(mesh: Mesh):
+    return ("dcn", "dp") if "dcn" in mesh.shape else ("dp",)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading-axis data sharding for input batches."""
-    return NamedSharding(mesh, P("dp"))
+    """Leading-axis data sharding for input batches (over every data axis)."""
+    return NamedSharding(mesh, P(_data_axes(mesh)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -79,7 +109,7 @@ def shard_batch(batch, mesh: Mesh):
     target sub-batch inside a mixed composition) are replicated instead —
     GSPMD still keeps the compute sharded along the images' batch axis.
     """
-    dp = mesh.shape["dp"]
+    dp = int(np.prod([mesh.shape[a] for a in _data_axes(mesh)]))
     sharded = batch_sharding(mesh)
     replic = replicated(mesh)
 

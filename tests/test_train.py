@@ -244,3 +244,27 @@ def test_dp_sharded_train_step(rng):
     # qkv kernel sharded over tp
     qkv = new_state.params["encoder"]["blocks_0"]["attn"]["qkv"]["kernel"]
     assert not qkv.sharding.is_fully_replicated
+
+
+def test_multislice_dcn_mesh_matches_flat_dp(rng):
+    """A ('dcn','dp','tp') multi-slice mesh (outer data parallelism across
+    slice boundaries — the reference's 2-node layout) must produce the same
+    loss and updated params as the flat ('dp','tp') mesh: same program, the
+    gradient reduction just becomes hierarchical."""
+    assert len(jax.devices()) == 8
+    model, smpl, tx, state, step = _tiny_setup()
+    batch = _vid_batch(rng, n2d=2, n3d=2, T=2)  # batch 4 over 2x2 data axes
+
+    results = []
+    for mesh in (make_mesh(dp=4, tp=2), make_mesh(dcn=2, dp=2, tp=2)):
+        shardings = param_shardings(state.params, mesh)
+        st = state._replace(
+            params=jax.tree.map(jax.device_put, state.params, shardings))
+        with mesh:
+            new_state, metrics = step(st, shard_batch(batch, mesh), None)
+        psum = sum(float(jnp.sum(jnp.abs(p)))
+                   for p in jax.tree.leaves(new_state.params))
+        results.append((float(metrics["loss"]), psum))
+
+    assert results[0][0] == pytest.approx(results[1][0], rel=1e-6)
+    assert results[0][1] == pytest.approx(results[1][1], rel=1e-6)

@@ -102,7 +102,11 @@ def main():
         if logger:
             logger.info(f"=> loaded pretrained encoder from {args.pretrained}")
 
-    mesh = make_mesh()
+    # mesh geometry from env (defaults: pure dp over every device).
+    # MAED_MESH_TP shards ViT qkv/proj/MLP Megatron-style; MAED_MESH_DCN adds
+    # outer data parallelism across slice boundaries (multi-slice pods).
+    mesh = make_mesh(tp=int(os.environ.get("MAED_MESH_TP", "1")),
+                     dcn=int(os.environ.get("MAED_MESH_DCN", "1")))
     from maed_tpu.ops.pallas_gate import register_mesh
 
     register_mesh(mesh)  # pallas kernels stand down on >1-device meshes
