@@ -45,9 +45,21 @@ def main():
     def eval_fwd(variables, images, J_regressor=None):
         return model.apply(variables, images, smpl, J_regressor=J_regressor)
 
+    # use every local device: dp-shard the clip batch over a mesh (same path
+    # the trainer's validation uses); single-device hosts skip the mesh
+    import jax
+
+    mesh = None
+    if jax.device_count() > 1:
+        from maed_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        print(f"eval over {jax.device_count()} devices (dp mesh)")
+
     evaluator = Evaluator(smpl)
     evaluator.run(
-        eval_fwd, loader, seqlen=cfg.EVAL.SEQLEN, interp=cfg.EVAL.INTERPOLATION,
+        eval_fwd, loader, mesh=mesh,
+        seqlen=cfg.EVAL.SEQLEN, interp=cfg.EVAL.INTERPOLATION,
         dataset_name=args.eval_ds, save_path=args.output_path,
         batch_size=cfg.EVAL.BATCH_SIZE,  # pad ragged last batch: one executable
         variables=variables,  # params as jit args: one cached executable
