@@ -284,6 +284,11 @@ class Evaluator:
         return np.concatenate(outs, axis=0)
 
     def evaluate(self, save_path: str = "") -> tuple[Dict[str, float], int]:
+        if "target_j3d" not in self.accumulators:
+            raise RuntimeError(
+                "no ground truth accumulated — the input had no confident "
+                "3D joints (GT-free inference, e.g. demo.py); predictions "
+                "exist but there is nothing to score")
         acc = {k: np.concatenate(v, axis=0) for k, v in self.accumulators.items()}
         self.accumulators = defaultdict(list)
         self.accumulators.update({k: [v] for k, v in acc.items()})
