@@ -52,8 +52,10 @@ def collect_frames(args) -> list:
         if not paths:
             raise SystemExit(f"no images found in {args.image_folder}")
         return paths
-    folder = video_to_images(
-        args.vid_file, osp.join(args.output_folder, "frames"))
+    frames_dir = osp.join(args.output_folder, "frames")
+    if osp.isdir(frames_dir):  # stale frames from a previous (longer) run
+        shutil.rmtree(frames_dir)
+    folder = video_to_images(args.vid_file, frames_dir)
     return sorted(osp.join(folder, n) for n in os.listdir(folder))
 
 
@@ -65,26 +67,41 @@ def resolve_bboxes(args, paths) -> np.ndarray:
                 f"--bbox_file shape {bboxes.shape} != ({len(paths)}, 4)")
         return bboxes
     if args.staf_dir:
+        if not args.vid_file:
+            raise SystemExit("--staf_dir tracking needs --vid_file "
+                             "(the tracker consumes the video directly)")
         from maed_tpu.utils.pose_tracker import run_posetracker
-        from maed_tpu.utils.smooth_bbox import get_all_bbox_params
+        from maed_tpu.utils.smooth_bbox import (
+            get_all_bbox_params, smooth_bbox_params,
+        )
 
         tracks = run_posetracker(args.vid_file, args.staf_dir,
                                  display=False)
         if not tracks:
             raise SystemExit("pose tracker found no people")
-        # largest track; smooth its keypoints into per-frame square boxes
+        # largest track -> smoothed square boxes, placed by the track's
+        # VIDEO frame ids (detections can start late / have gaps)
         pid = max(tracks, key=lambda p: len(tracks[p]["frames"]))
-        joints2d = tracks[pid]["joints2d"]
-        bbox_params, start, _ = get_all_bbox_params(joints2d, vis_thresh=0.3)
+        frames = np.asarray(tracks[pid]["frames"])
+        bbox_params, start, end = get_all_bbox_params(
+            tracks[pid]["joints2d"], vis_thresh=0.3)
+        if end <= start:
+            raise SystemExit("pose track has no frames with >=2 confident "
+                             "keypoints — supply --bbox_file instead")
+        bbox_params = smooth_bbox_params(bbox_params)
         boxes = np.zeros((len(paths), 4), np.float32)
-        n = min(len(bbox_params), len(paths) - start)
-        boxes[start:start + n, :2] = bbox_params[:n, :2]
-        boxes[start:start + n, 2] = boxes[start:start + n, 3] = bbox_params[:n, 2]
-        # fill frames outside the track with the nearest tracked box
-        for i in range(len(paths)):
-            if boxes[i, 2] == 0:
-                j = min(max(i, start), start + n - 1)
-                boxes[i] = boxes[j]
+        have = np.zeros(len(paths), bool)
+        for r in range(start, end):  # row r detects video frame frames[r]
+            f = int(frames[r])
+            if 0 <= f < len(paths):
+                cx, cy, size = bbox_params[r - start]
+                boxes[f] = (cx, cy, size, size)
+                have[f] = True
+        if not have.any():
+            raise SystemExit("pose track frames lie outside the video")
+        tracked = np.where(have)[0]
+        for i in np.where(~have)[0]:  # nearest tracked box for gaps/edges
+            boxes[i] = boxes[tracked[np.abs(tracked - i).argmin()]]
         return boxes
     # centered square fallback
     import cv2
@@ -161,14 +178,19 @@ def main():
             alpha=args.alpha, allow_synthetic_smpl=args.allow_synthetic_smpl,
         )
         if shutil.which("ffmpeg") is not None:
-            # rendered names aren't %06d.png — re-sequence for the muxer
+            # rendered names aren't a %06d sequence — re-sequence for the
+            # muxer, KEEPING each file's real encoding/extension
             seq = osp.join(args.output_folder, "overlay_seq")
-            os.makedirs(seq, exist_ok=True)
-            for i, n in enumerate(sorted(os.listdir(frames_dir)), start=1):
+            if osp.isdir(seq):
+                shutil.rmtree(seq)
+            os.makedirs(seq)
+            names = sorted(os.listdir(frames_dir))
+            ext = osp.splitext(names[0])[1]
+            for i, n in enumerate(names, start=1):
                 shutil.copy(osp.join(frames_dir, n),
-                            osp.join(seq, f"{i:06d}.png"))
+                            osp.join(seq, f"{i:06d}{ext}"))
             out_vid = osp.join(args.output_folder, "demo_overlay.mp4")
-            images_to_video(seq, out_vid)
+            images_to_video(seq, out_vid, pattern=f"%06d{ext}")
             print(f"wrote {out_vid}")
         else:
             print("ffmpeg not available — overlay frames only")

@@ -236,6 +236,15 @@ class Evaluator:
                 self.accumulators[out_key].append(merged)
 
             flat = lambda x: np.asarray(x).reshape((-1,) + np.asarray(x).shape[2:])
+            # GT presence must be uniform across the run: a GT-free batch in
+            # a GT run would silently misalign the pred/target accumulators
+            if n_batches == 0:
+                self._has_gt = bool(valid_joints)
+            elif self._has_gt != bool(valid_joints):
+                raise RuntimeError(
+                    f"batch {n_batches} {'lost' if self._has_gt else 'gained'}"
+                    " GT joints mid-run (probe frame confidence flipped) — "
+                    "mixed GT/GT-free data cannot be scored consistently")
             if valid_joints:
                 self.accumulators["target_j3d"].append(flat(kp3d[:, :, valid_joints])[valid_seq])
                 self.accumulators["target_j2d"].append(

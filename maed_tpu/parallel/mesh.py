@@ -35,7 +35,7 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1, dcn: int = 1,
     (CPU tests, explicit device lists) it falls back to a plain reshape —
     same program, same collectives, only the physical placement differs.
     """
-    if dcn > 1 and devices is None:
+    if dcn > 1 and devices is None and jax.default_backend() == "tpu":
         try:
             from jax.experimental import mesh_utils
 
@@ -44,8 +44,18 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1, dcn: int = 1,
                 dcn_mesh_shape=(dcn, 1, 1),
             )
             return Mesh(arr, axis_names=("dcn", "dp", "tp"))
-        except Exception:
-            pass  # no real slice topology (CPU/virtual devices): reshape
+        except Exception as e:
+            # CPU/virtual devices have no slice topology — the reshape below
+            # is correct there. On REAL hardware this firing means the dcn
+            # request doesn't match the pod's slice layout; a reshaped 'dcn'
+            # axis then cuts across slices and the 'dp' all-reduce rides DCN
+            # links — warn loudly instead of silently degrading.
+            import sys
+
+            print(f"WARNING: create_hybrid_device_mesh failed ({e}); "
+                  f"building the dcn={dcn} mesh by plain reshape — on "
+                  "multi-slice hardware verify MAED_MESH_DCN matches the "
+                  "actual slice count", file=sys.stderr)
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp is None:

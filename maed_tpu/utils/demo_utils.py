@@ -69,12 +69,14 @@ def video_to_images(vid_file: str, img_folder: str | None = None,
     return img_folder
 
 
-def images_to_video(img_folder: str, output_vid_file: str, fps: int = 30):
+def images_to_video(img_folder: str, output_vid_file: str, fps: int = 30,
+                    pattern: str = "%06d.png"):
     if shutil.which("ffmpeg") is None:
         raise RuntimeError("ffmpeg is not available in this environment")
     os.makedirs(osp.dirname(output_vid_file) or ".", exist_ok=True)
     command = [
-        "ffmpeg", "-framerate", str(fps), "-y", "-i", f"{img_folder}/%06d.png",
+        "ffmpeg", "-framerate", str(fps), "-y",
+        "-i", f"{img_folder}/{pattern}",
         "-c:v", "libx264", "-pix_fmt", "yuv420p", "-v", "error", output_vid_file,
     ]
     subprocess.run(command, check=True)

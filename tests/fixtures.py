@@ -80,3 +80,15 @@ def make_image_db(tmpdir, n_images=16, img_size=64, seed=1, with_smpl=True):
         db["pose"] = (rng.randn(n, 72) * 0.2).astype(np.float32)
         db["shape"] = (rng.randn(n, 10) * 0.5).astype(np.float32)
     return db
+
+
+def cli_subprocess_env():
+    """Env for driving the CLIs as subprocesses: CPU backend, ONE device
+    (the tiny CLI batches don't divide the conftest 8-device test mesh)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "host_platform_device_count" not in f
+    )
+    return env

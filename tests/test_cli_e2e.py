@@ -17,7 +17,7 @@ import sys
 
 import joblib
 
-from fixtures import make_image_db, make_video_db
+from fixtures import cli_subprocess_env, make_image_db, make_video_db
 
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 
@@ -69,22 +69,11 @@ def _write_cfg(root):
     return path
 
 
-def _cli_env():
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    # single device: the tiny batches don't divide the test 8-device mesh
-    env["XLA_FLAGS"] = " ".join(
-        f for f in env.get("XLA_FLAGS", "").split()
-        if "host_platform_device_count" not in f
-    )
-    return env
-
-
 def test_train_then_eval_cli(tmp_path):
     root = str(tmp_path)
     _write_dbs(root)
     cfg_path = _write_cfg(root)
-    env = _cli_env()
+    env = cli_subprocess_env()
 
     r = subprocess.run(
         [sys.executable, osp.join(REPO, "train.py"), "--cfg", cfg_path,

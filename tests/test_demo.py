@@ -13,6 +13,8 @@ import sys
 import numpy as np
 import pytest
 
+from fixtures import cli_subprocess_env
+
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 
 
@@ -43,16 +45,6 @@ def demo_inputs(tmp_path_factory):
     return tmp, str(imgs), str(cfg_path)
 
 
-def _env():
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = " ".join(
-        f for f in env.get("XLA_FLAGS", "").split()
-        if "host_platform_device_count" not in f
-    )
-    return env
-
-
 def test_demo_cli_renders_overlays(demo_inputs):
     tmp, imgs, cfg_path = demo_inputs
     out = str(tmp / "out")
@@ -60,7 +52,7 @@ def test_demo_cli_renders_overlays(demo_inputs):
         [sys.executable, osp.join(REPO, "demo.py"), "--image_folder", imgs,
          "--cfg", cfg_path, "--output_folder", out, "--render",
          "--allow_synthetic_smpl"],
-        cwd=str(tmp), env=_env(), capture_output=True, text=True, timeout=900,
+        cwd=str(tmp), env=cli_subprocess_env(), capture_output=True, text=True, timeout=900,
     )
     assert r.returncode == 0, f"{r.stdout[-2000:]}\n{r.stderr[-2000:]}"
 
@@ -84,7 +76,7 @@ def test_demo_cli_bbox_file(demo_inputs):
         [sys.executable, osp.join(REPO, "demo.py"), "--image_folder", imgs,
          "--cfg", cfg_path, "--output_folder", out, "--bbox_file", bbox_path,
          "--allow_synthetic_smpl"],
-        cwd=str(tmp), env=_env(), capture_output=True, text=True, timeout=900,
+        cwd=str(tmp), env=cli_subprocess_env(), capture_output=True, text=True, timeout=900,
     )
     assert r.returncode == 0, f"{r.stdout[-2000:]}\n{r.stderr[-2000:]}"
 
@@ -92,3 +84,33 @@ def test_demo_cli_bbox_file(demo_inputs):
 
     data = joblib.load(osp.join(out, "inference.pkl"))
     np.testing.assert_allclose(np.asarray(data["bboxes"]), bboxes)
+
+
+def test_resolve_bboxes_places_track_by_video_frame(monkeypatch):
+    """STAF boxes must land on the track's VIDEO frame ids (tracks can start
+    late and skip frames), with gaps filled from the nearest tracked box."""
+    import types
+
+    import maed_tpu.utils.pose_tracker as pt
+    from demo import resolve_bboxes
+
+    # 3 detections at video frames 4, 6, 7 (starts late, skips frame 5)
+    kp = np.zeros((3, 5, 3), np.float32)
+    for r, (cx, cy, s) in enumerate([(10, 10, 4), (20, 20, 4), (30, 30, 4)]):
+        kp[r, 0] = (cx - s / 2, cy - s / 2, 1.0)
+        kp[r, 1] = (cx + s / 2, cy + s / 2, 1.0)
+    tracks = {0: {"joints2d": kp, "frames": np.array([4, 6, 7])}}
+    monkeypatch.setattr(pt, "run_posetracker", lambda *a, **k: tracks)
+
+    args = types.SimpleNamespace(bbox_file="", staf_dir="/fake",
+                                 vid_file="v.mp4")
+    paths = [f"f{i}.png" for i in range(10)]
+    boxes = resolve_bboxes(args, paths)
+    assert boxes.shape == (10, 4)
+    # tracked frames hold their own (smoothed) boxes: centers ascend
+    assert boxes[4, 0] < boxes[6, 0] < boxes[7, 0]
+    # leading gap fills from the first tracked frame, trailing from the last
+    np.testing.assert_allclose(boxes[0], boxes[4])
+    np.testing.assert_allclose(boxes[9], boxes[7])
+    # the skipped frame 5 fills from a neighbor
+    assert boxes[5, 0] in (boxes[4, 0], boxes[6, 0])

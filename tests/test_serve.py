@@ -20,9 +20,7 @@ from maed_tpu.models import MAED
 from maed_tpu.utils.export import export_eval_forward
 from maed_tpu.utils.smpl_io import synthetic_smpl_model
 
-from serve import ModelHost, ThreadingHTTPServer, make_handler
-
-OUT_KEYS = ("theta", "verts", "kp_2d", "kp_3d", "rotmat")
+from serve import OUT_KEYS, ModelHost, ThreadingHTTPServer, make_handler
 
 
 @pytest.fixture(scope="module")
