@@ -335,8 +335,47 @@ def convert_params_to_state_dict(
     return sd
 
 
+def inspect_torch_checkpoint(path: str) -> int:
+    """Report conversion coverage for a reference .pth(.tar): per-prefix
+    matched/skipped/unmatched counts. Returns the unmatched count — run this
+    against the released checkpoint BEFORE the acceptance eval to see
+    whether every learned tensor has a home."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+          for k, v in sd.items()}
+    stats: Dict[str, list] = {}
+    unmatched_keys = []
+    for k, v in sd.items():
+        prefix = ".".join(k.replace("module.", "").split(".")[:2])
+        s = stats.setdefault(prefix, [0, 0, 0])  # matched, skipped, unmatched
+        out = translate_torch_key(k, np.asarray(v))
+        if out is None:
+            s[1] += 1
+        elif out[0].startswith("__UNMATCHED__"):
+            s[2] += 1
+            unmatched_keys.append(k)
+        else:
+            s[0] += 1
+    print(f"{path}: {len(sd)} tensors")
+    for prefix in sorted(stats):
+        m, sk, um = stats[prefix]
+        flag = "  <-- UNMATCHED" if um else ""
+        print(f"  {prefix:40s} matched {m:4d}  skipped {sk:3d}  "
+              f"unmatched {um:3d}{flag}")
+    for k in unmatched_keys[:10]:
+        print(f"  unmatched: {k}")
+    n_unmatched = len(unmatched_keys)
+    print("OK: every learned tensor converts" if n_unmatched == 0
+          else f"{n_unmatched} keys have NO conversion rule")
+    return n_unmatched
+
+
 def main():
-    """CLI: export an orbax checkpoint to a reference-compatible .pth.tar."""
+    """CLI: export an orbax checkpoint to a reference-compatible .pth.tar,
+    or --inspect a reference checkpoint's conversion coverage."""
     import argparse
 
     import torch
@@ -344,13 +383,21 @@ def main():
     from maed_tpu.utils.checkpoint import load_checkpoint
 
     ap = argparse.ArgumentParser(description=main.__doc__)
-    ap.add_argument("--checkpoint", required=True,
+    ap.add_argument("--checkpoint", default="",
                     help="orbax checkpoint dir (trainer output)")
-    ap.add_argument("--out", required=True, help=".pth.tar to write")
+    ap.add_argument("--out", default="", help=".pth.tar to write")
     ap.add_argument("--prefix", default="module.",
                     help="state_dict key prefix (published checkpoints use "
                     "the DDP 'module.'; '' for a bare module)")
+    ap.add_argument("--inspect", default="",
+                    help="reference .pth(.tar): report torch->jax conversion "
+                    "coverage and exit (nonzero on unmatched keys)")
     args = ap.parse_args()
+
+    if args.inspect:
+        raise SystemExit(1 if inspect_torch_checkpoint(args.inspect) else 0)
+    if not (args.checkpoint and args.out):
+        ap.error("--checkpoint and --out are required (or use --inspect)")
 
     ckpt = load_checkpoint(args.checkpoint)
     sd = convert_params_to_state_dict(

@@ -85,6 +85,44 @@ class ModelHost:
         return {k: np.asarray(out[k])[:n] for k in OUT_KEYS}
 
 
+class BucketedHost:
+    """Routes each request to the smallest exported batch that fits.
+
+    TPU-native static shapes mean one compiled program per (batch, seqlen);
+    exporting several batch sizes (utils/export.py docstring's 'bucketed
+    server') keeps small requests from paying the big batch's latency.
+    """
+
+    def __init__(self, artifact_paths, params_path: str = ""):
+        hosts = [ModelHost(p, params_path) for p in artifact_paths]
+        self.hosts = sorted(hosts, key=lambda h: h.batch)
+        ref = self.hosts[0].spec()
+        for h in self.hosts[1:]:
+            s = h.spec()
+            if {k: s[k] for k in ("seqlen", "height", "width")} != \
+               {k: ref[k] for k in ("seqlen", "height", "width")}:
+                raise ValueError(f"bucket specs differ beyond batch: {s} vs {ref}")
+        self.batch = self.hosts[-1].batch
+        self.seqlen, self.height, self.width = (
+            self.hosts[-1].seqlen, self.hosts[-1].height, self.hosts[-1].width)
+
+    def spec(self) -> dict:
+        top = self.hosts[-1].spec()
+        top["buckets"] = [h.batch for h in self.hosts]
+        return top
+
+    def warmup(self):
+        for h in self.hosts:
+            h.warmup()
+
+    def predict(self, images: np.ndarray) -> dict:
+        n = images.shape[0] if getattr(images, "ndim", 0) >= 1 else 0
+        for h in self.hosts:
+            if n <= h.batch:
+                return h.predict(images)
+        return self.hosts[-1].predict(images)  # raises the clear batch error
+
+
 def make_handler(host: ModelHost):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet; the CLI prints the endpoint once
@@ -127,15 +165,19 @@ def make_handler(host: ModelHost):
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    ap.add_argument("--artifact", required=True,
-                    help="StableHLO artifact from maed_tpu.utils.export")
+    ap.add_argument("--artifact", required=True, nargs="+",
+                    help="StableHLO artifact(s) from maed_tpu.utils.export; "
+                    "several -> a bucketed server routing each request to "
+                    "the smallest exported batch that fits")
     ap.add_argument("--params", default="",
                     help="args-mode .params.npz (default: <artifact>.params.npz)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8700)
     args = ap.parse_args()
 
-    host = ModelHost(args.artifact, args.params)
+    host = (ModelHost(args.artifact[0], args.params)
+            if len(args.artifact) == 1
+            else BucketedHost(args.artifact, args.params))
     print(f"loaded {args.artifact}: {host.spec()}")
     host.warmup()
     print("warmup dispatch done")

@@ -107,3 +107,33 @@ def test_http_round_trip(artifacts):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_bucketed_host_routes_by_batch(artifacts, tmp_path):
+    from serve import BucketedHost
+
+    baked2, _, x, want = artifacts
+    # a second bucket with batch 1, same model/weights
+    smpl = synthetic_smpl_model(num_verts=120)
+    model = MAED(encoder="ste", num_blocks=1, num_heads=2, st_mode="parallel",
+                 decoder="ktd", hidden_dim=32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), smpl)
+    baked1 = tmp_path / "b1.hlo"
+    baked1.write_bytes(export_eval_forward(
+        model, variables, smpl, batch_size=1, seqlen=4, height=32, width=32,
+        platforms=("cpu",)))
+
+    host = BucketedHost([str(baked1), baked2])
+    assert host.spec()["buckets"] == [1, 2]
+
+    # n=1 routes to the batch-1 bucket (no padding), n=2 to the batch-2 one
+    got1 = host.predict(x[:1])
+    got2 = host.predict(x)
+    # NOTE: weights here are freshly initialized with the same seed/shapes as
+    # the module fixture, so outputs must match the fixture's direct apply
+    np.testing.assert_allclose(got1["theta"], want["theta"][:1],
+                               rtol=2e-2, atol=1e-4)
+    np.testing.assert_allclose(got2["theta"], want["theta"],
+                               rtol=2e-2, atol=1e-4)
+    with pytest.raises(ValueError):
+        host.predict(np.zeros((3, 4, 32, 32, 3), np.float32))

@@ -153,3 +153,25 @@ def test_roundtrip_cnn_iterative():
     assert unmatched == [], unmatched
     assert set(flatten(got_params)) == set(flatten(params))
     assert set(flatten(got_stats)) == set(flatten(stats))
+
+
+def test_inspect_reports_unmatched(tmp_path):
+    """--inspect coverage report: 0 for a fully-convertible state_dict,
+    counts keys with no conversion rule."""
+    import torch
+
+    from maed_tpu.utils.torch_convert import inspect_torch_checkpoint
+
+    sd = {
+        "module.decoder.fc1.weight": torch.zeros(4, 8),
+        "module.decoder.fc1.bias": torch.zeros(4),
+        "module.decoder.smpl.v_template": torch.zeros(6, 3),  # skipped
+    }
+    p = tmp_path / "ok.pth.tar"
+    torch.save({"state_dict": sd}, p)
+    assert inspect_torch_checkpoint(str(p)) == 0
+
+    sd["module.decoder.mystery.weight"] = torch.zeros(2)
+    p2 = tmp_path / "bad.pth.tar"
+    torch.save({"state_dict": sd}, p2)
+    assert inspect_torch_checkpoint(str(p2)) == 1
