@@ -183,8 +183,20 @@ def main():
     print("warmup dispatch done")
 
     server = ThreadingHTTPServer((args.host, args.port), make_handler(host))
+
+    def _graceful(signum, frame):
+        # shutdown() must not run on the serve_forever thread
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    import signal
+
+    signal.signal(signal.SIGTERM, _graceful)
+    signal.signal(signal.SIGINT, _graceful)
+
     print(f"serving on http://{args.host}:{server.server_address[1]}")
     server.serve_forever()
+    server.server_close()
+    print("shut down")
 
 
 if __name__ == "__main__":
