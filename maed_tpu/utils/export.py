@@ -171,7 +171,10 @@ def main():
     ap.add_argument("--cfg", default=None)
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--out", required=True)
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=[8], nargs="+",
+                    help="exported batch size(s); several -> one artifact "
+                    "per size (<out> for the first, <out>.b<N> for the "
+                    "rest) for serve.py's bucketed routing")
     ap.add_argument("--platform", default="tpu", choices=("tpu", "cpu"))
     ap.add_argument("--dtype", default="bf16", choices=("bf16", "f32"),
                     help="activation dtype baked into the artifact; bf16 is "
@@ -196,23 +199,26 @@ def main():
     d = cfg.DATASET
 
     jreg = load_eval_regressor(args.eval_ds) if args.eval_ds else None
-    result = export_eval_forward(
-        model, variables, smpl, args.batch, cfg.EVAL.SEQLEN,
-        d.HEIGHT, d.WIDTH, J_regressor=jreg, platforms=(args.platform,),
-        bake_params=not args.no_bake,
-    )
-    extra = ""
-    if args.no_bake:
-        blob, flat = result
-        np.savez(args.out + ".params.npz", **flat)
-        extra = f" + {args.out}.params.npz"
-    else:
-        blob = result
-    with open(args.out, "wb") as f:
-        f.write(blob)
-    print(f"wrote {args.out}: {len(blob) / 2**20:.1f} MiB{extra}, "
-          f"platform={args.platform}, dtype={args.dtype}, "
-          f"spec=({args.batch}, {cfg.EVAL.SEQLEN}, {d.HEIGHT}, {d.WIDTH}, 3)")
+    for i, batch in enumerate(args.batch):
+        out = args.out if i == 0 else f"{args.out}.b{batch}"
+        result = export_eval_forward(
+            model, variables, smpl, batch, cfg.EVAL.SEQLEN,
+            d.HEIGHT, d.WIDTH, J_regressor=jreg, platforms=(args.platform,),
+            bake_params=not args.no_bake,
+        )
+        extra = ""
+        if args.no_bake:
+            blob, flat = result
+            if i == 0:  # params identical across buckets: one side-file
+                np.savez(args.out + ".params.npz", **flat)
+                extra = f" + {args.out}.params.npz"
+        else:
+            blob = result
+        with open(out, "wb") as f:
+            f.write(blob)
+        print(f"wrote {out}: {len(blob) / 2**20:.1f} MiB{extra}, "
+              f"platform={args.platform}, dtype={args.dtype}, "
+              f"spec=({batch}, {cfg.EVAL.SEQLEN}, {d.HEIGHT}, {d.WIDTH}, 3)")
 
 
 if __name__ == "__main__":

@@ -123,7 +123,9 @@ class BucketedHost:
         return self.hosts[-1].predict(images)  # raises the clear batch error
 
 
-def make_handler(host: ModelHost):
+def make_handler(host: ModelHost, ready=None):
+    """ready: optional threading.Event — until set, /healthz reports
+    {"ready": false} and /predict answers 503 (warmup in progress)."""
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet; the CLI prints the endpoint once
             pass
@@ -137,7 +139,9 @@ def make_handler(host: ModelHost):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._send(200, json.dumps(host.spec()).encode(),
+                spec = dict(host.spec())
+                spec["ready"] = ready is None or ready.is_set()
+                self._send(200, json.dumps(spec).encode(),
                            "application/json")
             else:
                 self._send(404, b"not found", "text/plain")
@@ -145,6 +149,9 @@ def make_handler(host: ModelHost):
         def do_POST(self):
             if self.path != "/predict":
                 self._send(404, b"not found", "text/plain")
+                return
+            if ready is not None and not ready.is_set():
+                self._send(503, b"warming up", "text/plain")
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
@@ -179,22 +186,30 @@ def main():
             if len(args.artifact) == 1
             else BucketedHost(args.artifact, args.params))
     print(f"loaded {args.artifact}: {host.spec()}")
-    host.warmup()
-    print("warmup dispatch done")
 
-    server = ThreadingHTTPServer((args.host, args.port), make_handler(host))
+    # bind + answer /healthz immediately; predict 503s until warmup finishes
+    ready = threading.Event()
+    server = ThreadingHTTPServer((args.host, args.port),
+                                 make_handler(host, ready))
+    print(f"serving on http://{args.host}:{server.server_address[1]} "
+          "(warming up)")
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    host.warmup()
+    ready.set()
+    print("warmup dispatch done — ready")
+
+    stop = threading.Event()
 
     def _graceful(signum, frame):
-        # shutdown() must not run on the serve_forever thread
-        threading.Thread(target=server.shutdown, daemon=True).start()
+        stop.set()
 
     import signal
 
     signal.signal(signal.SIGTERM, _graceful)
     signal.signal(signal.SIGINT, _graceful)
 
-    print(f"serving on http://{args.host}:{server.server_address[1]}")
-    server.serve_forever()
+    stop.wait()
+    server.shutdown()
     server.server_close()
     print("shut down")
 
