@@ -117,10 +117,13 @@ def ref_models(tmp_path_factory):
         vt = importlib.import_module("lib.models.vision_transformer")
         ktd = importlib.import_module("lib.models.ktd")
         spin = importlib.import_module("lib.models.spin")
-        yield types.SimpleNamespace(vt=vt, ktd=ktd, spin=spin, torch=torch)
+        loss = importlib.import_module("lib.core.loss")
+        yield types.SimpleNamespace(vt=vt, ktd=ktd, spin=spin, loss=loss,
+                                    torch=torch)
     finally:
         for k in _STUB_KEYS + ["lib.models.vision_transformer",
                                "lib.models.ktd", "lib.models.spin",
+                               "lib.core.loss",
                                "lib.models.ops", "lib.models.ops.drop",
                                "lib.models.resnetv2", "lib.utils.utils",
                                "lib.utils.geometry"]:
@@ -474,3 +477,106 @@ def test_projection_parity_with_reference(ref_models):
         ours = weak_perspective_projection(jnp.asarray(joints),
                                            jnp.asarray(cam))
     np.testing.assert_allclose(np.asarray(ours), ref_kp, rtol=1e-6, atol=1e-6)
+
+
+# --------------------------------------------------------------------------- #
+# loss parity: the real reference LossVideo/LossImage ARE the oracle
+# --------------------------------------------------------------------------- #
+
+def _to_t(torch, d):
+    return {k: torch.from_numpy(v) for k, v in d.items()}
+
+
+def test_video_loss_parity_with_reference(ref_models):
+    """Every video loss term (conf-weighted 2D/3D MSE with pelvis centering,
+    rodrigues-rotmat pose MSE masked by w_smpl, shape MSE, theta norm,
+    acceleration) matches the real reference LossVideo at f64/1e-9."""
+    from maed_tpu.core.loss import LossWeights, video_loss
+
+    torch = ref_models.torch
+    rng = np.random.RandomState(11)
+    n2d, n3d, T = 2, 3, 4
+    nv = n2d + n3d
+
+    def kp(n, k, dims):
+        arr = rng.randn(n, T, k, dims + 1)
+        arr[..., -1] = (rng.rand(n, T, k) > 0.3).astype(np.float64)
+        return arr
+
+    preds = {
+        "kp_2d": rng.randn(nv, T, 49, 2),
+        "kp_3d": rng.randn(nv, T, 49, 3),
+        "theta": rng.randn(nv, T, 85) * 0.3,
+    }
+    data_3d = {
+        "kp_2d": kp(n3d, 49, 2),
+        "kp_3d": kp(n3d, 49, 3),
+        "theta": rng.randn(n3d, T, 85) * 0.3,
+        "w_smpl": (rng.rand(n3d, T) > 0.4).astype(np.float64),
+    }
+    data_2d = {"kp_2d": kp(n2d, 49, 2)}
+
+    ref = ref_models.loss.LossVideo(
+        e_loss_weight=300.0, e_3d_loss_weight=600.0, e_pose_loss_weight=60.0,
+        e_shape_loss_weight=0.06, e_smpl_norm_loss=1.0, e_smpl_accl_loss=1.0,
+        device="cpu")
+    with torch.no_grad():
+        ref_total, ref_dict = ref(
+            _to_t(torch, preds), _to_t(torch, data_3d), _to_t(torch, data_2d))
+
+    with jax.enable_x64(True):
+        w = LossWeights(kp_2d=300.0, kp_3d=600.0, pose=60.0, shape=0.06,
+                        norm=1.0, accl=1.0)
+        total, ldict = video_loss(
+            jax.tree.map(jnp.asarray, preds), jax.tree.map(jnp.asarray, data_3d),
+            jax.tree.map(jnp.asarray, data_2d), w)
+
+    assert set(ldict) == set(ref_dict)
+    for k in ref_dict:
+        np.testing.assert_allclose(float(ldict[k]), float(ref_dict[k]),
+                                   rtol=1e-9, atol=1e-12, err_msg=k)
+    np.testing.assert_allclose(float(total), float(ref_total), rtol=1e-9)
+
+
+def test_image_loss_parity_with_reference(ref_models):
+    """Image-batch loss vs the real reference LossImage, including the
+    unmasked smpl_losses behavior PARITY.md documents."""
+    from maed_tpu.core.loss import LossWeights, image_loss
+
+    torch = ref_models.torch
+    rng = np.random.RandomState(12)
+    n = 5
+
+    def kp(k, dims):
+        arr = rng.randn(n, k, dims + 1)
+        arr[..., -1] = (rng.rand(n, k) > 0.3).astype(np.float64)
+        return arr
+
+    preds = {  # fake T=1 axis like MAED's image forward
+        "kp_2d": rng.randn(n, 1, 49, 2),
+        "kp_3d": rng.randn(n, 1, 49, 3),
+        "theta": rng.randn(n, 1, 85) * 0.3,
+    }
+    target = {
+        "kp_2d": kp(49, 2),
+        "kp_3d": kp(49, 3),
+        "theta": rng.randn(n, 85) * 0.3,
+        "w_smpl": (rng.rand(n) > 0.4).astype(np.float64),
+    }
+
+    ref = ref_models.loss.LossImage(
+        e_loss_weight=300.0, e_3d_loss_weight=600.0, e_pose_loss_weight=60.0,
+        e_shape_loss_weight=0.06, e_smpl_norm_loss=1.0, device="cpu")
+    with torch.no_grad():
+        ref_total, ref_dict = ref(_to_t(torch, preds), _to_t(torch, target))
+
+    with jax.enable_x64(True):
+        w = LossWeights(kp_2d=300.0, kp_3d=600.0, pose=60.0, shape=0.06,
+                        norm=1.0, accl=0.0)
+        total, ldict = image_loss(
+            jax.tree.map(jnp.asarray, preds), jax.tree.map(jnp.asarray, target), w)
+
+    for k in ref_dict:
+        np.testing.assert_allclose(float(ldict[k]), float(ref_dict[k]),
+                                   rtol=1e-9, atol=1e-12, err_msg=k)
+    np.testing.assert_allclose(float(total), float(ref_total), rtol=1e-9)
