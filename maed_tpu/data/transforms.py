@@ -44,7 +44,10 @@ def gen_crop_trans(bbox, scale, rot, shift, out_w, out_h):
     Built from 3 control points exactly like the reference."""
     src_w = bbox[2] * scale[0]
     src_h = bbox[3] * scale[1]
-    src_center = np.asarray(bbox[:2], np.float32) + np.asarray(bbox[2:], np.float32) * np.asarray(shift, np.float32)
+    # f64 until the final f32 control-point cast, like the reference
+    # (crop.py:58: bbox[:2] + bbox[2:] * shift before np.float32(src)) —
+    # rounding the shifted center early skews the affine by ~1e-4 px
+    src_center = np.asarray(bbox[:2], np.float64) + np.asarray(bbox[2:], np.float64) * np.asarray(shift, np.float64)
 
     rot_rad = np.pi * rot / 180
     src_downdir = _rotate_2d(np.array([0, src_h * 0.5], np.float32), rot_rad)
