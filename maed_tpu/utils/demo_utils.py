@@ -22,9 +22,9 @@ def convert_crop_cam_to_orig_img(cam: np.ndarray, bbox: np.ndarray,
     cam (N, 3): (s, tx, ty) in crop coords; bbox (N, 4): (cx, cy, w, h).
     Returns (N, 4): (sx, sy, tx, ty) in original-image normalized coords.
     """
-    cx, cy, h = bbox[:, 0], bbox[:, 1], bbox[:, 2]
+    cx, cy, w, h = bbox[:, 0], bbox[:, 1], bbox[:, 2], bbox[:, 3]
     hw, hh = img_width / 2.0, img_height / 2.0
-    sx = cam[:, 0] * (1.0 / (img_width / h))
+    sx = cam[:, 0] * (1.0 / (img_width / w))
     sy = cam[:, 0] * (1.0 / (img_height / h))
     tx = ((cx - hw) / hw / sx) + cam[:, 1]
     ty = ((cy - hh) / hh / sy) + cam[:, 2]
