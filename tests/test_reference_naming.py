@@ -580,3 +580,64 @@ def test_image_loss_parity_with_reference(ref_models):
         np.testing.assert_allclose(float(ldict[k]), float(ref_dict[k]),
                                    rtol=1e-9, atol=1e-12, err_msg=k)
     np.testing.assert_allclose(float(total), float(ref_total), rtol=1e-9)
+
+
+def test_full_maed_forward_parity_with_reference(ref_models):
+    """Capstone: the real reference MAED COMPOSITION (lib/models/maed.py —
+    encoder reshape -> ste forward with seqlen -> decoder -> output reshapes)
+    runs as the oracle for our full model, f64, on converted weights.
+    SMPL-dependent outputs go through the FakeSMPL zero mesh and are covered
+    by the SMPL oracle tests; rotmat and theta must match at 1e-6."""
+    import functools
+
+    from maed_tpu.models import MAED as OurMAED
+
+    torch = ref_models.torch
+    maed_mod = importlib.import_module("lib.models.maed")
+    sys.modules.pop("lib.models.maed", None)  # fresh import per run
+    # the reference constructor defaults to pretrained weights (network);
+    # patch the imported factory symbol to build randomly initialized
+    orig_factory = maed_mod.vit_custom_resnet50_224_in21k
+    maed_mod.vit_custom_resnet50_224_in21k = functools.partial(
+        orig_factory, pretrained=False)
+
+    prev_dtype = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        torch.manual_seed(0)
+        ref = maed_mod.MAED(encoder="ste", num_blocks=2, num_heads=12,
+                            st_mode="parallel", decoder="ktd",
+                            hidden_dim=64).double().eval()
+        sd = _state_dict_np(ref, "")
+        params, _, unmatched = convert_state_dict(sd)
+        assert unmatched == []
+
+        rng = np.random.RandomState(5)
+        N, T = 1, 2
+        x = rng.randn(N, T, 224, 224, 3).astype(np.float64) * 0.5
+        with torch.no_grad():  # seqlen is derived from x.shape inside
+            ref_out = ref(torch.from_numpy(np.transpose(x, (0, 1, 4, 2, 3))))
+    finally:
+        torch.set_default_dtype(prev_dtype)
+        maed_mod.vit_custom_resnet50_224_in21k = orig_factory
+
+    with jax.enable_x64(True):
+        ours = OurMAED(encoder="ste", num_blocks=2, num_heads=12,
+                       st_mode="parallel", decoder="ktd", hidden_dim=64,
+                       dtype=jnp.float64)
+        p64 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), params)
+        our_out = ours.apply({"params": p64}, jnp.asarray(x),
+                             synthetic_smpl_model(num_verts=64),
+                             deterministic=True)
+
+    np.testing.assert_allclose(
+        np.asarray(our_out["rotmat"]), ref_out["rotmat"].numpy(),
+        rtol=1e-6, atol=1e-6, err_msg="rotmat")
+    theta_ref = ref_out["theta"].numpy()
+    theta = np.asarray(our_out["theta"])
+    np.testing.assert_allclose(theta[..., :3], theta_ref[..., :3],
+                               rtol=1e-6, atol=1e-6, err_msg="cam")
+    np.testing.assert_allclose(theta[..., 3:75], theta_ref[..., 3:75],
+                               rtol=1e-6, atol=1e-6, err_msg="pose_aa")
+    np.testing.assert_allclose(theta[..., 75:], theta_ref[..., 75:],
+                               rtol=1e-6, atol=1e-6, err_msg="shape")
