@@ -218,3 +218,41 @@ def test_trainer_dp_sharded_matches_single_device(tiny_cfg):
         lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
         trainer_a.state.params, trainer_b.state.params))
     assert max(diffs) < 5e-5
+
+
+def test_training_run_is_bitwise_deterministic(tiny_cfg, tmp_path_factory):
+    """Two full Trainer.fit runs from the same seed must end bit-identical:
+    the per-(epoch,index) seeded augmentation RNG, the epoch-seeded loader
+    shuffles, and the jitted step leave no nondeterminism (the reference
+    could only aim for this with cudnn.deterministic; here it is exact)."""
+    tmp = tmp_path_factory.mktemp("determ")
+    db_vid = make_video_db(tmp, n_videos=2, frames_per_video=12, img_size=48)
+    db_img = make_image_db(tmp, n_images=8, img_size=48)
+    db_val = make_video_db(tmp, n_videos=1, frames_per_video=8, img_size=48,
+                           seed=3)
+    overrides = {"syn2d": db_vid, "syn3d": db_vid, "synimg": db_img,
+                 "syn3d_val": db_val}
+    cfg = tiny_cfg.clone()
+    cfg.SAVE_FREQ = 99  # no validation/checkpoint IO in this test
+
+    model = MAED(encoder="ste", num_blocks=1, num_heads=2, st_mode="parallel",
+                 decoder="ktd", hidden_dim=32)
+    smpl = synthetic_smpl_model(num_verts=64)
+    tx = make_optimizer(cfg.TRAIN.OPTIM, steps_per_epoch=2)
+    sample = jnp.zeros((2, 2, 32, 32, 3), jnp.float32)
+    step = make_train_step(model, tx, smpl, LossWeights(), donate=False)
+
+    def run():
+        loaders = get_data_loaders(cfg, db_overrides=overrides, verbose=False)
+        state = init_train_state(model, tx, sample, smpl, jax.random.PRNGKey(0))
+        trainer = Trainer(
+            data_loaders=loaders, train_step=step, state=state, model=model,
+            smpl_model=smpl, cfg=cfg, logdir="", num_iters_per_epoch=2,
+        )
+        trainer.fit()
+        return jax.tree.map(np.asarray, trainer.state.params)
+
+    p1, p2 = run(), run()
+    mism = [np.abs(a - b).max() for a, b in
+            zip(jax.tree.leaves(p1), jax.tree.leaves(p2))]
+    assert max(mism) == 0.0, f"max param divergence {max(mism)}"
