@@ -105,6 +105,21 @@ def test_train_then_eval_cli(tmp_path):
     assert r.returncode == 0, f"eval.py failed:\n{out[-3000:]}"
     assert "pa-mpjpe" in out.lower(), out[-2000:]
 
+    # stage-1 -> stage-2 handoff: a second training run initialized from the
+    # first's checkpoint via --pretrained (encoder kept, decoder dropped —
+    # the reference's two-stage recipe, /root/reference/train.py:97-111)
+    r = subprocess.run(
+        [sys.executable, osp.join(REPO, "train.py"), "--cfg", cfg_path,
+         "--pretrained", osp.join(logdir, best[0]),
+         "--allow_synthetic_smpl"],
+        cwd=root, env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert r.returncode == 0, f"pretrained train failed:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}"
+    runs = sorted(os.listdir(osp.join(root, "results")))
+    assert len(runs) == 2
+    log2 = open(osp.join(root, "results", runs[-1], "train_log.txt")).read()
+    assert "loaded pretrained encoder" in log2
+
     # the eval result feeds visualize.py (reference flow: eval.py ->
     # inference.pkl -> visualize.py, /root/reference/visualize.py:13-63)
     pkl = osp.join(root, "evalout", "inference.pkl")
