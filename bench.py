@@ -118,9 +118,11 @@ def _wait_for_backend():
         except subprocess.TimeoutExpired:
             reason = "backend init hung >240s"
         if i == retries:
+            # a dead tunnel HANGS backend init rather than raising, so
+            # proceeding to main() would hang the driver — exit loudly
             print(f"[bench] backend still unavailable after {retries} "
                   f"retries: {reason}", file=sys.stderr)
-            return  # let main() fail loudly with the real error
+            sys.exit(3)
         print(f"[bench] backend unavailable ({reason.strip()}); "
               f"retry {i + 1}/{retries} in 180s", file=sys.stderr)
         time.sleep(180)
