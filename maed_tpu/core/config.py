@@ -115,6 +115,11 @@ def get_cfg_defaults() -> CfgNode:
                 WARMUP_EPOCH=2,
                 WARMUP_FACTOR=0.1,
                 MILESTONES=[10, 15],
+                # micro-batch gradient accumulation (optax.MultiSteps): k>1
+                # averages k steps' grads into one update — reproduces the
+                # reference's 8-GPU global batch on fewer chips. Not in the
+                # reference schema; its yamls leave it at 1.
+                GRAD_ACCUM_STEPS=1,
             ),
         ),
         DATASET=_node(

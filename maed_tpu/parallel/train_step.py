@@ -49,9 +49,25 @@ def warmup_milestone_schedule(base_lr, warmup_epoch, warmup_factor, milestones,
 
 
 def make_optimizer(cfg_optim, steps_per_epoch: int) -> optax.GradientTransformation:
+    """Adam/SGD with the reference LR schedule; optional micro-batch gradient
+    accumulation via TRAIN.OPTIM.GRAD_ACCUM_STEPS (k>1 wraps the optimizer in
+    optax.MultiSteps: k train_step calls average their gradients into ONE
+    update — params change only on every k-th call).
+
+    The reference recipe assumes 8 GPUs' worth of global batch
+    (/root/reference/scripts/run.sh, per-GPU batches in configs/*.yaml);
+    accumulation reproduces that global batch on fewer TPU chips at the same
+    per-step memory. With equal-size micro-batches the averaged gradient is
+    exactly the full-batch gradient, so the Adam update matches the big-batch
+    step (tested in test_train.py). The LR schedule counts REAL updates, so
+    its steps-per-epoch is divided by k (exact when k divides the per-epoch
+    iteration count).
+    """
+    accum = int(getattr(cfg_optim, "GRAD_ACCUM_STEPS", 1) or 1)
     schedule = warmup_milestone_schedule(
         cfg_optim.LR, cfg_optim.WARMUP_EPOCH, cfg_optim.WARMUP_FACTOR,
-        list(cfg_optim.MILESTONES), steps_per_epoch,
+        list(cfg_optim.MILESTONES),
+        max(1, steps_per_epoch // accum) if accum > 1 else steps_per_epoch,
     )
     if cfg_optim.OPTIM.lower() == "adam":
         core = optax.chain(
@@ -66,6 +82,8 @@ def make_optimizer(cfg_optim, steps_per_epoch: int) -> optax.GradientTransformat
         )
     else:
         raise NotImplementedError(cfg_optim.OPTIM)
+    if accum > 1:
+        return optax.MultiSteps(core, every_k_schedule=accum)
     return core
 
 

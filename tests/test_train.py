@@ -268,3 +268,58 @@ def test_multislice_dcn_mesh_matches_flat_dp(rng):
 
     assert results[0][0] == pytest.approx(results[1][0], rel=1e-6)
     assert results[0][1] == pytest.approx(results[1][1], rel=1e-6)
+
+
+class _AccumOptim(_Optim):
+    GRAD_ACCUM_STEPS = 2
+
+
+def test_grad_accumulation_update_matches_big_batch():
+    """k micro-batches through make_optimizer(GRAD_ACCUM_STEPS=k) apply ONE
+    update equal to the big-batch step on the averaged gradient (the exact
+    semantics that reproduce the reference's 8-GPU global batch on fewer
+    chips, /root/reference/scripts/run.sh + per-GPU batches in configs)."""
+    params = {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3) / 7.0}
+    g1 = {"w": jnp.full((2, 3), 0.25, jnp.float32)}
+    g2 = {"w": jnp.linspace(-1.0, 1.0, 6, dtype=jnp.float32).reshape(2, 3)}
+    g_mean = jax.tree.map(lambda a, b: (a + b) / 2.0, g1, g2)
+
+    tx_k = make_optimizer(_AccumOptim, steps_per_epoch=10)
+    s = tx_k.init(params)
+    u1, s = tx_k.update(g1, s, params)
+    assert all(float(jnp.abs(u).max()) == 0.0 for u in jax.tree.leaves(u1)), \
+        "first micro-step must not touch params"
+    u2, s = tx_k.update(g2, s, params)
+
+    tx_1 = make_optimizer(_Optim, steps_per_epoch=5)  # same updates-per-epoch
+    u_full, _ = tx_1.update(g_mean, tx_1.init(params), params)
+
+    got = jax.tree.map(lambda a, b: a + b, u1, u2)
+    np.testing.assert_allclose(got["w"], u_full["w"], rtol=1e-6, atol=1e-8)
+
+
+def test_grad_accumulation_through_jitted_train_step(rng):
+    """Wiring through the real jitted step: with GRAD_ACCUM_STEPS=2 the first
+    call leaves params bit-unchanged (grads only accumulate), the second
+    applies the update; the MultiSteps opt_state survives the TrainState
+    donation/tree plumbing."""
+    model = MAED(encoder="ste", num_blocks=1, num_heads=2, st_mode="parallel",
+                 decoder="ktd", hidden_dim=32)
+    smpl = synthetic_smpl_model(num_verts=64)
+    tx = make_optimizer(_AccumOptim, steps_per_epoch=10)
+    sample = jnp.zeros((2, 2, 32, 32, 3), jnp.float32)
+    state = init_train_state(model, tx, sample, smpl, jax.random.PRNGKey(0))
+    step = make_train_step(model, tx, smpl, LossWeights(), donate=False)
+
+    p0 = jax.tree.map(np.asarray, state.params)
+    mid, metrics = step(state, _vid_batch(rng), None)
+    assert np.isfinite(float(metrics["loss"]))
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(mid.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    final, _ = step(mid, _vid_batch(rng), None)
+    changed = any(
+        float(jnp.abs(a - b).max()) > 0
+        for a, b in zip(jax.tree.leaves(mid.params), jax.tree.leaves(final.params))
+    )
+    assert changed, "second micro-step must apply the accumulated update"
