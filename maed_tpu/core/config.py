@@ -92,6 +92,10 @@ def get_cfg_defaults() -> CfgNode:
         DEBUG_FREQ=1000,
         SEED_VALUE=-1,
         SAVE_FREQ=5,
+        # keep only the newest N epoch_* checkpoint dirs (-1 = keep all,
+        # the reference behavior; model_best is never pruned). Orbax dirs
+        # for the flagship are ~GBs — long runs want a bound.
+        SAVE_KEEP_LAST=-1,
         # reference CUDNN block kept for yaml compatibility (ignored on TPU)
         CUDNN=_node(BENCHMARK=True, DETERMINISTIC=False, ENABLED=True),
         TRAIN=_node(

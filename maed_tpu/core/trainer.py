@@ -14,6 +14,7 @@ design (TPU-first):
 
 from __future__ import annotations
 
+import os
 import os.path as osp
 import sys
 import time
@@ -88,6 +89,7 @@ class Trainer:
         self.start_epoch = cfg.TRAIN.START_EPOCH
         self.end_epoch = cfg.TRAIN.END_EPOCH
         self.save_freq = cfg.SAVE_FREQ
+        self.save_keep_last = int(getattr(cfg, "SAVE_KEEP_LAST", -1))
         self.img_use_freq = cfg.TRAIN.IMG_USE_FREQ
         self.epoch = self.start_epoch
         self.train_global_step = 0
@@ -263,6 +265,25 @@ class Trainer:
         save_checkpoint(self.logdir, state_np, is_best=is_best, name=f"epoch_{epoch}")
         with open(osp.join(self.logdir, "best.txt"), "w") as f:
             f.write(str(self.best_performance))
+        self._prune_checkpoints()
+
+    def _prune_checkpoints(self):
+        """Keep only the newest SAVE_KEEP_LAST epoch_* dirs (-1 = keep all,
+        matching the reference, which never deletes epoch_N.pth.tar —
+        /root/reference/lib/core/trainer.py:330-351). model_best/best.txt
+        are retention-exempt, so resume-from-best always works."""
+        if self.save_keep_last < 0 or not self.logdir:
+            return
+        import re
+        import shutil
+
+        epochs = []
+        for name in os.listdir(self.logdir):
+            m = re.fullmatch(r"epoch_(\d+)", name)
+            if m and osp.isdir(osp.join(self.logdir, name)):
+                epochs.append((int(m.group(1)), name))
+        for _, name in sorted(epochs)[: max(0, len(epochs) - self.save_keep_last)]:
+            shutil.rmtree(osp.join(self.logdir, name))
 
     def resume(self, path: str):
         from flax import serialization

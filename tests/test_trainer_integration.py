@@ -256,3 +256,29 @@ def test_training_run_is_bitwise_deterministic(tiny_cfg, tmp_path_factory):
     mism = [np.abs(a - b).max() for a, b in
             zip(jax.tree.leaves(p1), jax.tree.leaves(p2))]
     assert max(mism) == 0.0, f"max param divergence {max(mism)}"
+
+
+def test_save_keep_last_prunes_old_epoch_dirs(tmp_path):
+    """SAVE_KEEP_LAST=N retains only the newest N epoch_* checkpoint dirs
+    (numeric order, not lexicographic); model_best/best.txt are exempt;
+    -1 keeps everything (the reference's behavior)."""
+    import os
+
+    class _Stub:
+        pass
+
+    t = _Stub()
+    t.logdir = str(tmp_path)
+    t.save_keep_last = 2
+    for e in (0, 3, 5, 10):  # epoch_10 > epoch_5 numerically, < lexically
+        os.makedirs(tmp_path / f"epoch_{e}")
+    os.makedirs(tmp_path / "model_best")
+    (tmp_path / "best.txt").write_text("1.0")
+
+    Trainer._prune_checkpoints(t)
+    left = set(os.listdir(tmp_path))
+    assert left == {"epoch_5", "epoch_10", "model_best", "best.txt"}, left
+
+    t.save_keep_last = -1
+    Trainer._prune_checkpoints(t)  # keep-all: no-op
+    assert set(os.listdir(tmp_path)) == left
