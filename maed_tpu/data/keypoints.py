@@ -192,6 +192,24 @@ def get_perm_idxs(src: str, dst: str):
     return [src_names.index(n) for n in get_joint_names(dst) if n in src_names]
 
 
+def convert_kps_to_mask(kp_2d: np.ndarray, visibility: np.ndarray,
+                        mask_size: int, img_size: int = 224) -> np.ndarray:
+    """Rasterize visible 2D keypoints into a coarse (mask_size, mask_size)
+    binary occupancy grid (parity: /root/reference/lib/data_utils/
+    kp_utils.py:3-21, vectorized). Cell math reproduces the reference
+    exactly: floor-divide by the integer cell width, cast through int8,
+    then clamp into the grid — so out-of-frame keypoints land on the
+    border cells rather than being dropped."""
+    kp = np.asarray(kp_2d, dtype=np.float64)
+    cell = img_size // mask_size
+    idx = np.floor(kp // cell).astype(np.int8)
+    idx = np.clip(idx, 0, mask_size - 1)
+    mask = np.zeros((mask_size, mask_size), dtype=np.float16)
+    vis = np.asarray(visibility) != 0
+    mask[idx[vis, 1], idx[vis, 0]] = 1
+    return mask
+
+
 # ---------------------------------------------------------------------------
 # horizontal flips (augmentation)
 # ---------------------------------------------------------------------------

@@ -170,3 +170,51 @@ def test_split_into_chunks_nopad_matches_reference(ref_img_utils):
     assert len(got) == len(want)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+@pytest.fixture(scope="module")
+def ref_demo():
+    import importlib
+
+    pytube = types.ModuleType("pytube")
+    pytube.YouTube = object
+    lib = types.ModuleType("lib")
+    lib.__path__ = ["/root/reference/lib"]
+    lib_utils = types.ModuleType("lib.utils")
+    lib_utils.__path__ = ["/root/reference/lib/utils"]
+    saved = {k: sys.modules.get(k)
+             for k in ("pytube", "lib", "lib.utils", "lib.utils.demo_utils",
+                       "lib.utils.smooth_bbox", "lib.utils.geometry")}
+    sys.modules.update({"pytube": pytube, "lib": lib, "lib.utils": lib_utils})
+    try:
+        yield importlib.import_module("lib.utils.demo_utils")
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                sys.modules[k] = v
+            else:
+                sys.modules.pop(k, None)
+
+
+def test_prepare_rendering_results_matches_reference(ref_demo):
+    from maed_tpu.utils.demo_utils import prepare_rendering_results
+
+    rng = np.random.RandomState(11)
+    nframes = 7
+    results = {}
+    for pid, frame_ids in [(3, [0, 1, 2, 5]), (9, [1, 2, 3]), (4, [2, 6])]:
+        n = len(frame_ids)
+        results[pid] = {
+            "frame_ids": np.array(frame_ids),
+            "verts": rng.rand(n, 12, 3).astype(np.float32),
+            "orig_cam": rng.rand(n, 4).astype(np.float32),
+        }
+    want = ref_demo.prepare_rendering_results(results, nframes)
+    got = prepare_rendering_results(results, nframes)
+    assert len(got) == len(want) == nframes
+    for f, (g, w) in enumerate(zip(got, want)):
+        # same people, same back-to-front depth order
+        assert list(g.keys()) == list(w.keys()), f
+        for pid in g:
+            np.testing.assert_array_equal(g[pid]["verts"], w[pid]["verts"])
+            np.testing.assert_array_equal(g[pid]["cam"], w[pid]["cam"])

@@ -68,3 +68,16 @@ def test_perm_idxs_match_reference(ref_kp):
             ref_kp.get_perm_idxs(fmt, "common"), fmt
         assert ours.get_perm_idxs("spin", fmt) == \
             ref_kp.get_perm_idxs("spin", fmt), fmt
+
+
+def test_convert_kps_to_mask_matches_reference(ref_kp):
+    rng = np.random.RandomState(7)
+    for mask_size in (56, 28, 14):
+        # include out-of-frame coordinates: the reference clamps them onto
+        # the border cells (after an int8 cast) rather than dropping them
+        kp_2d = rng.uniform(-12.0, 236.0, size=(49, 2))
+        visibility = (rng.rand(49) > 0.3).astype(np.float32)
+        want = ref_kp.convert_kps_to_mask(kp_2d, visibility, mask_size)
+        got = ours.convert_kps_to_mask(kp_2d, visibility, mask_size)
+        assert got.dtype == want.dtype
+        np.testing.assert_array_equal(got, want, err_msg=f"mask {mask_size}")

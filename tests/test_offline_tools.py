@@ -153,3 +153,54 @@ def test_eval_released_preflight_contract(tmp_path):
                       ("data/database/3dpw_test_db.pt", "3dpw_test_db.pt")):
         if not os.path.exists(os.path.join(repo, rel)):
             assert name in out, name
+
+
+def test_download_url_file_scheme(tmp_path):
+    from maed_tpu.utils.demo_utils import download_url
+
+    src = tmp_path / "artifact.bin"
+    src.write_bytes(b"maed")
+    outdir = tmp_path / "out"
+    got = download_url(src.as_uri(), str(outdir))
+    assert open(got, "rb").read() == b"maed"
+    # idempotent: an existing file is not re-fetched
+    src.write_bytes(b"changed")
+    assert open(download_url(src.as_uri(), str(outdir)), "rb").read() == b"maed"
+
+
+def test_download_youtube_clip_explains_missing_pytube(tmp_path):
+    import pytest
+
+    from maed_tpu.utils.demo_utils import download_youtube_clip
+
+    try:
+        import pytube  # noqa: F401
+        pytest.skip("pytube installed; error path not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="pytube"):
+        download_youtube_clip("https://youtu.be/x", str(tmp_path))
+
+
+def test_trim_videos_cv2_fallback(tmp_path):
+    import cv2
+    import pytest
+
+    from maed_tpu.utils.demo_utils import trim_videos
+
+    src = str(tmp_path / "src.mp4")
+    writer = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"mp4v"), 10.0,
+                             (32, 32))
+    if not writer.isOpened():
+        pytest.skip("cv2 has no mp4 encoder in this image")
+    for i in range(20):  # 2 seconds at 10 fps, frame index painted in
+        frame = np.full((32, 32, 3), i * 10, dtype=np.uint8)
+        writer.write(frame)
+    writer.release()
+
+    out = str(tmp_path / "trim.mp4")
+    trim_videos(src, 0.5, 1.5, out)  # frames [5, 15)
+    cap = cv2.VideoCapture(out)
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    assert n == 10
