@@ -1,7 +1,10 @@
-"""Debug visualization: skeleton overlays and batch-inspection grids (cv2).
+"""Debug visualization: skeleton overlays, 3D pose plots, and
+batch-inspection grids (cv2/matplotlib).
 
-Parity target: /root/reference/lib/utils/vis.py:65-474 (skeleton/mesh grids
+Parity target: /root/reference/lib/utils/vis.py:46-426 (skeleton/mesh grids
 for eyeballing training batches), rebuilt on cv2 — no GL or torchvision.
+Not matched: get_regressor_output (vis.py:428-462, dead torch-model probe)
+and show_video (vis.py:465-474, IPython-notebook display).
 """
 
 from __future__ import annotations
@@ -67,6 +70,102 @@ def batch_grid(images: np.ndarray, kp_2d: np.ndarray | None = None,
 
 def joint_names(fmt: str = "spin"):
     return get_joint_names(fmt)
+
+
+# A named debug palette (reference vis.py:46-62 keeps one for per-limb
+# coloring; the RGB values are ColorBrewer picks, not project-specific).
+COLORS = {
+    "pink": (197, 27, 125), "light_pink": (233, 163, 201),
+    "light_green": (161, 215, 106), "green": (77, 146, 33),
+    "red": (215, 48, 39), "light_red": (252, 146, 114),
+    "light_orange": (252, 141, 89), "purple": (118, 42, 131),
+    "light_purple": (175, 141, 195), "light_blue": (145, 191, 219),
+    "blue": (69, 117, 180), "gray": (130, 130, 130),
+    "white": (255, 255, 255),
+}
+
+
+def get_colors():
+    return {k: np.array(v) for k, v in COLORS.items()}
+
+
+def draw_smpl_joints2d(joints2d: np.ndarray, image: np.ndarray,
+                       kintree_table: np.ndarray | None = None) -> np.ndarray:
+    """Draw a 2D SMPL skeleton from a (2, 24) parent/child kintree table,
+    alternating the palette's red/blue per bone (reference vis.py:142-164).
+    Falls back to the SMPL tree from ops/smpl.py when no table is given."""
+    import cv2
+
+    if kintree_table is None:
+        from maed_tpu.ops.joints import SMPL_PARENTS
+
+        kintree_table = np.stack([np.asarray(SMPL_PARENTS),
+                                  np.arange(len(SMPL_PARENTS))])
+    rcolor, lcolor = COLORS["red"], COLORS["blue"]
+    out = image
+    pts = np.asarray(joints2d)[:, :2].astype(int)
+    for i in range(1, kintree_table.shape[1]):
+        j1, j2 = int(kintree_table[0][i]), int(kintree_table[1][i])
+        color = lcolor if i % 2 == 0 else rcolor
+        cv2.line(out, tuple(pts[j1]), tuple(pts[j2]), color, thickness=2)
+        cv2.circle(out, tuple(pts[j1]), 4, color, -1)
+        cv2.circle(out, tuple(pts[j2]), 4, color, -1)
+    return out
+
+
+H36M_17_CONNECTIONS = [
+    (0, 1), (1, 2), (2, 3), (0, 4), (4, 5), (5, 6), (0, 7), (7, 8),
+    (8, 9), (9, 10), (8, 11), (11, 12), (12, 13), (8, 14), (14, 15),
+    (15, 16),
+]
+_H36M_17_LEFT = np.array(
+    [0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0], dtype=bool)
+
+
+def show_3d_pose(joints3d: np.ndarray, ax, radius: float = 40.0,
+                 lcolor: str = "#ff0000", rcolor: str = "#0000ff"):
+    """Plot a 17-joint h36m-topology 3D pose on a matplotlib 3D axis,
+    root-centered cube limits (reference vis.py:166-187)."""
+    vals = np.asarray(joints3d)
+    for ind, (i, j) in enumerate(H36M_17_CONNECTIONS):
+        seg = np.stack([vals[i], vals[j]])
+        ax.plot(seg[:, 0], seg[:, 1], seg[:, 2], lw=2,
+                c=lcolor if _H36M_17_LEFT[ind] else rcolor)
+    xr, yr, zr = vals[0, :3]
+    ax.set_xlim3d([xr - radius, xr + radius])
+    ax.set_ylim3d([yr - radius, yr + radius])
+    ax.set_zlim3d([zr - radius, zr + radius])
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    ax.set_zlabel("z")
+
+
+def visualize_sequence(sequence: np.ndarray, radius: float = 0.6) -> np.ndarray:
+    """Render a (T, 17*3) or (T, 17, 3) pose sequence to a (T, H, W, 3)
+    uint8 frame stack (reference vis.py:190-207 animates the same views
+    interactively with plt.pause; headless hosts get the frames instead —
+    feed them to demo_utils.images_to_video for a clip)."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    seq = np.asarray(sequence)
+    seq = seq.reshape((seq.shape[0], -1, 3))
+    frames = []
+    fig = plt.figure(figsize=(4, 4))
+    try:
+        for pose in seq:
+            ax = fig.add_subplot(111, projection="3d")
+            show_3d_pose(pose, ax, radius=radius)
+            ax.view_init(-75, -90)
+            fig.canvas.draw()
+            buf = np.asarray(fig.canvas.buffer_rgba())[:, :, :3]
+            frames.append(buf.copy())
+            fig.clf()
+    finally:
+        plt.close(fig)
+    return np.stack(frames)
 
 
 # --------------------------------------------------------------------------- #

@@ -204,3 +204,27 @@ def test_trim_videos_cv2_fallback(tmp_path):
     n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
     cap.release()
     assert n == 10
+
+
+def test_draw_smpl_joints2d_default_kintree():
+    from maed_tpu.utils.vis import draw_smpl_joints2d, get_colors
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    rng = np.random.RandomState(0)
+    joints = rng.uniform(8, 56, size=(24, 2))
+    out = draw_smpl_joints2d(joints, img)
+    assert out.sum() > 0  # bones drawn
+    palette = get_colors()
+    assert palette["red"].tolist() == [215, 48, 39]
+
+
+def test_visualize_sequence_renders_frames():
+    from maed_tpu.utils.vis import visualize_sequence
+
+    rng = np.random.RandomState(1)
+    seq = rng.randn(3, 17 * 3).astype(np.float32)
+    frames = visualize_sequence(seq, radius=2.0)
+    assert frames.shape[0] == 3 and frames.shape[-1] == 3
+    assert frames.dtype == np.uint8
+    # the skeleton actually lands on the canvas (not a blank figure)
+    assert (frames.reshape(3, -1).min(axis=1) < 250).all()
