@@ -211,11 +211,18 @@ class Evaluator:
                         f"cannot run the native-joint-bank fallback: GT has "
                         f"{kp3d.shape[2]} joints (no J49 mapping known)")
 
+            # dispatch every sub-clip forward before fetching any result:
+            # jax dispatch is async, so the (large — verts alone is ~21 MB
+            # per flagship sub-clip) device->host fetches and the host-side
+            # merge below overlap the remaining sub-clips' device compute
+            # instead of idling the chip once per fetch
+            pending = [
+                run_fwd(to_device(images[:, ::interp][:, i::sample_freq]))
+                for i in range(sample_freq)
+            ]
             per_clip = defaultdict(list)
-            for i in range(sample_freq):
-                inp = images[:, ::interp][:, i::sample_freq]
-                preds = run_fwd(to_device(inp))
-                preds = jax.tree.map(np.asarray, preds)
+            for dev_preds in pending:
+                preds = jax.tree.map(np.asarray, dev_preds)
                 if pad_n:
                     preds = jax.tree.map(lambda a: a[:N], preds)
                 per_clip["verts"].append(preds["verts"])
