@@ -96,6 +96,10 @@ def get_cfg_defaults() -> CfgNode:
         # the reference behavior; model_best is never pruned). Orbax dirs
         # for the flagship are ~GBs — long runs want a bound.
         SAVE_KEEP_LAST=-1,
+        # write checkpoints on a background thread (state is snapshotted to
+        # host numpy synchronously first, so training resumes immediately;
+        # the reference blocks on torch.save). False = fully synchronous.
+        SAVE_ASYNC=True,
         # reference CUDNN block kept for yaml compatibility (ignored on TPU)
         CUDNN=_node(BENCHMARK=True, DETERMINISTIC=False, ENABLED=True),
         TRAIN=_node(

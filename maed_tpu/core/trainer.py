@@ -26,7 +26,9 @@ import numpy as np
 from maed_tpu.core.evaluate import Evaluator, load_eval_regressor
 from maed_tpu.data.loaders import InfiniteLoader
 from maed_tpu.parallel.train_step import TrainState
-from maed_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from maed_tpu.utils.checkpoint import (
+    load_checkpoint, save_checkpoint, wait_pending_saves,
+)
 from maed_tpu.utils.logging_utils import AverageMeter, StepTimer
 
 
@@ -90,6 +92,7 @@ class Trainer:
         self.end_epoch = cfg.TRAIN.END_EPOCH
         self.save_freq = cfg.SAVE_FREQ
         self.save_keep_last = int(getattr(cfg, "SAVE_KEEP_LAST", -1))
+        self.save_async = bool(getattr(cfg, "SAVE_ASYNC", True))
         self.img_use_freq = cfg.TRAIN.IMG_USE_FREQ
         self.epoch = self.start_epoch
         self.train_global_step = 0
@@ -245,6 +248,9 @@ class Trainer:
                 performance = eval_dict["pa-mpjpe"] if eval_dict else float("inf")
                 if self.rank == 0 and self.logdir:
                     self.save(performance, epoch)
+        # don't exit (or let the caller reuse the dir) with a checkpoint
+        # write still in flight; re-raises a failed background write
+        wait_pending_saves()
 
     # ------------------------------------------------------------------ #
     def save(self, performance: float, epoch: int):
@@ -262,7 +268,8 @@ class Trainer:
             "epoch": np.asarray(epoch),
             "performance": np.asarray(performance),
         }
-        save_checkpoint(self.logdir, state_np, is_best=is_best, name=f"epoch_{epoch}")
+        save_checkpoint(self.logdir, state_np, is_best=is_best,
+                        name=f"epoch_{epoch}", async_write=self.save_async)
         with open(osp.join(self.logdir, "best.txt"), "w") as f:
             f.write(str(self.best_performance))
         self._prune_checkpoints()

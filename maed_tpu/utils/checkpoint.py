@@ -13,7 +13,8 @@ from __future__ import annotations
 import os
 import os.path as osp
 import shutil
-from typing import Any, Dict, Optional
+import threading
+from typing import Any, Dict, List, Optional
 
 import jax
 import numpy as np
@@ -24,23 +25,73 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def save_checkpoint(ckpt_dir: str, state: Dict[str, Any], is_best: bool = False,
-                    name: str = "checkpoint"):
-    """Save {params, opt_state, batch_stats, epoch, performance, ...}."""
-    os.makedirs(ckpt_dir, exist_ok=True)
-    path = osp.join(osp.abspath(ckpt_dir), name)
+# At most one checkpoint write is in flight; a failed background write is
+# re-raised at the next synchronization point (the following save, any load,
+# or the trainer's end-of-fit wait) so it cannot pass silently.
+_pending: List[threading.Thread] = []
+_pending_error: List[BaseException] = []
+
+
+def wait_pending_saves() -> None:
+    """Block until any in-flight async checkpoint write has finished.
+
+    Re-raises the background writer's exception, if it had one."""
+    while _pending:
+        _pending.pop().join()
+    if _pending_error:
+        raise _pending_error.pop()
+
+
+def _write(path: str, state_np: Dict[str, Any], is_best: bool) -> None:
     if osp.exists(path):
         shutil.rmtree(path)
-    _checkpointer().save(path, jax.tree.map(np.asarray, state))
+    _checkpointer().save(path, state_np)
     if is_best:
-        best = osp.join(osp.abspath(ckpt_dir), "model_best")
+        best = osp.join(osp.dirname(path), "model_best")
         if osp.exists(best):
             shutil.rmtree(best)
         shutil.copytree(path, best)
+
+
+def save_checkpoint(ckpt_dir: str, state: Dict[str, Any], is_best: bool = False,
+                    name: str = "checkpoint", async_write: bool = False):
+    """Save {params, opt_state, batch_stats, epoch, performance, ...}.
+
+    async_write=True snapshots the state to host numpy synchronously (so the
+    caller may mutate/donate its buffers immediately) but runs the disk write
+    — the slow part for the flagship's ~0.4 GB state — on a background
+    thread, overlapping the next epoch's device compute (the reference
+    trainer blocks on torch.save; /root/reference/lib/core/trainer.py:330).
+    Writes are serialized: a new save waits out the previous one first, and
+    load_checkpoint/wait_pending_saves are synchronization points.
+    """
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = osp.join(osp.abspath(ckpt_dir), name)
+    # sync snapshot: device arrays fetch to host; host arrays must COPY
+    # (np.asarray alone aliases them, letting later caller mutations leak
+    # into the background write)
+    state_np = jax.tree.map(
+        lambda x: np.array(x) if isinstance(x, np.ndarray) else np.asarray(x),
+        state)
+    if not async_write:
+        _write(path, state_np, is_best)
+        return path
+    wait_pending_saves()  # one write in flight at a time; surface errors
+
+    def run():
+        try:
+            _write(path, state_np, is_best)
+        except BaseException as e:  # re-raised at the next sync point
+            _pending_error.append(e)
+
+    t = threading.Thread(target=run, name=f"ckpt-write-{name}", daemon=True)
+    t.start()
+    _pending.append(t)
     return path
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
+    wait_pending_saves()
     return _checkpointer().restore(osp.abspath(path))
 
 

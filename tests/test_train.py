@@ -323,3 +323,49 @@ def test_grad_accumulation_through_jitted_train_step(rng):
         for a, b in zip(jax.tree.leaves(mid.params), jax.tree.leaves(final.params))
     )
     assert changed, "second micro-step must apply the accumulated update"
+
+
+def test_async_checkpoint_write(tmp_path, rng):
+    """async_write=True must snapshot-before-return (caller may mutate its
+    buffers immediately), land the identical bytes on disk, and surface a
+    failed background write at the next synchronization point."""
+    import maed_tpu.utils.checkpoint as ckpt_mod
+    from maed_tpu.utils.checkpoint import (
+        load_checkpoint, save_checkpoint, wait_pending_saves,
+    )
+
+    params = {"w": np.arange(8, dtype=np.float32)}
+    save_checkpoint(str(tmp_path), {"params": params, "epoch": np.asarray(1)},
+                    is_best=True, name="epoch_1", async_write=True)
+    params["w"] += 100.0  # mutate AFTER the call returned: must not leak in
+    wait_pending_saves()
+    got = load_checkpoint(str(tmp_path / "epoch_1"))
+    np.testing.assert_array_equal(got["params"]["w"],
+                                  np.arange(8, dtype=np.float32))
+    best = load_checkpoint(str(tmp_path / "model_best"))
+    assert int(best["epoch"]) == 1
+
+    # a second async save serializes behind the first and overwrites
+    save_checkpoint(str(tmp_path), {"params": {"w": params["w"]},
+                                    "epoch": np.asarray(2)},
+                    name="epoch_1", async_write=True)
+    got = load_checkpoint(str(tmp_path / "epoch_1"))  # load = sync point
+    assert int(got["epoch"]) == 2
+    assert not ckpt_mod._pending and not ckpt_mod._pending_error
+
+    # background-writer failure is re-raised at the next sync point
+    orig = ckpt_mod._checkpointer
+
+    class _Boom:
+        def save(self, *a, **k):
+            raise RuntimeError("disk full")
+
+    ckpt_mod._checkpointer = lambda: _Boom()
+    try:
+        save_checkpoint(str(tmp_path), {"epoch": np.asarray(3)},
+                        name="epoch_3", async_write=True)
+        with pytest.raises(RuntimeError, match="disk full"):
+            wait_pending_saves()
+    finally:
+        ckpt_mod._checkpointer = orig
+    assert not ckpt_mod._pending and not ckpt_mod._pending_error
