@@ -231,26 +231,28 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
     def fit(self):
-        for epoch in range(self.start_epoch, self.end_epoch):
-            self.epoch = epoch
-            for ld in (self.train_2d, self.train_3d, self.train_img):
-                if ld:
-                    ld.set_epoch(epoch)
-            t0 = time.time()
-            train_metrics = self.train_epoch()
-            if self.logger and self.rank == 0:
-                self.logger.info(
-                    f"Epoch {epoch + 1} done in {time.time() - t0:.1f}s: {train_metrics}"
-                )
+        try:
+            for epoch in range(self.start_epoch, self.end_epoch):
+                self.epoch = epoch
+                for ld in (self.train_2d, self.train_3d, self.train_img):
+                    if ld:
+                        ld.set_epoch(epoch)
+                t0 = time.time()
+                train_metrics = self.train_epoch()
+                if self.logger and self.rank == 0:
+                    self.logger.info(
+                        f"Epoch {epoch + 1} done in {time.time() - t0:.1f}s: {train_metrics}"
+                    )
 
-            if (epoch + 1) % self.save_freq == 0:
-                eval_dict = self.validate()
-                performance = eval_dict["pa-mpjpe"] if eval_dict else float("inf")
-                if self.rank == 0 and self.logdir:
-                    self.save(performance, epoch)
-        # don't exit (or let the caller reuse the dir) with a checkpoint
-        # write still in flight; re-raises a failed background write
-        wait_pending_saves()
+                if (epoch + 1) % self.save_freq == 0:
+                    eval_dict = self.validate()
+                    performance = eval_dict["pa-mpjpe"] if eval_dict else float("inf")
+                    if self.rank == 0 and self.logdir:
+                        self.save(performance, epoch)
+        finally:
+            # never unwind (exception, KeyboardInterrupt) with a checkpoint
+            # write still in flight; re-raises a failed background write
+            wait_pending_saves()
 
     # ------------------------------------------------------------------ #
     def save(self, performance: float, epoch: int):
@@ -268,28 +270,38 @@ class Trainer:
             "epoch": np.asarray(epoch),
             "performance": np.asarray(performance),
         }
+        best_perf = self.best_performance
+
+        def after_write():
+            # runs after the write lands (writer thread when async): best.txt
+            # never points at a checkpoint that was not written, and pruning
+            # counts the just-written dir instead of racing it (ADVICE r3)
+            with open(osp.join(self.logdir, "best.txt"), "w") as f:
+                f.write(str(best_perf))
+            self._prune_checkpoints()
+
         save_checkpoint(self.logdir, state_np, is_best=is_best,
-                        name=f"epoch_{epoch}", async_write=self.save_async)
-        with open(osp.join(self.logdir, "best.txt"), "w") as f:
-            f.write(str(self.best_performance))
-        self._prune_checkpoints()
+                        name=f"epoch_{epoch}", async_write=self.save_async,
+                        on_success=after_write)
 
     def _prune_checkpoints(self):
         """Keep only the newest SAVE_KEEP_LAST epoch_* dirs (-1 = keep all,
         matching the reference, which never deletes epoch_N.pth.tar —
         /root/reference/lib/core/trainer.py:330-351). model_best/best.txt
-        are retention-exempt, so resume-from-best always works."""
+        are retention-exempt, so resume-from-best always works. 0 clamps to
+        1: the newest checkpoint is never deleted out from under a run."""
         if self.save_keep_last < 0 or not self.logdir:
             return
         import re
         import shutil
 
+        keep = max(1, self.save_keep_last)
         epochs = []
         for name in os.listdir(self.logdir):
             m = re.fullmatch(r"epoch_(\d+)", name)
             if m and osp.isdir(osp.join(self.logdir, name)):
                 epochs.append((int(m.group(1)), name))
-        for _, name in sorted(epochs)[: max(0, len(epochs) - self.save_keep_last)]:
+        for _, name in sorted(epochs)[: max(0, len(epochs) - keep)]:
             shutil.rmtree(osp.join(self.logdir, name))
 
     def resume(self, path: str):

@@ -324,7 +324,10 @@ def get_data_loaders(
     from maed_tpu.data.transforms import build_eval_transforms, build_train_transforms
 
     d = cfg.DATASET
-    train_tf = build_train_transforms(d)
+    # color jitter applies ONLY to the 3D video pipeline; the 2D and image
+    # stacks are crop/erase/flip only (/root/reference/train.py:40-63)
+    train_tf_3d = build_train_transforms(d, color_jitter=True)
+    train_tf = build_train_transforms(d, color_jitter=False)
     eval_tf = build_eval_transforms(d.WIDTH, d.HEIGHT)
     db_overrides = db_overrides or {}
     # worker processes (reference DataLoader NUM_WORKERS) only help with
@@ -332,9 +335,10 @@ def get_data_loaders(
     workers = min(int(getattr(cfg, "NUM_WORKERS", 0)),
                   max((os.cpu_count() or 1) - 1, 0))
 
-    def vds(name, set_name, **kw):
+    def vds(name, set_name, tf=None, **kw):
         return VideoDataset(
-            name, set_name, train_tf if set_name == "train" else eval_tf,
+            name, set_name,
+            tf if tf is not None else (train_tf if set_name == "train" else eval_tf),
             db=db_overrides.get(name), verbose=verbose, **kw,
         )
 
@@ -355,7 +359,8 @@ def get_data_loaders(
 
     if cfg.TRAIN.DATASETS_3D:
         ds3d = ConcatDataset([
-            vds(n, "train", seqlen=d.SEQLEN, sample_pool=d.SAMPLE_POOL,
+            vds(n, "train", tf=train_tf_3d, seqlen=d.SEQLEN,
+                sample_pool=d.SAMPLE_POOL,
                 overlap=8 if n == "3dpw" else d.OVERLAP,
                 random_sample=d.RANDOM_SAMPLE, random_start=d.RANDOM_START)
             for n in cfg.TRAIN.DATASETS_3D

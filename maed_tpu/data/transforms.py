@@ -112,53 +112,158 @@ class CropVideo:
         return out
 
 
-class ColorJitterVideo:
-    """Brightness/saturation/hue/contrast with factors and op order shared
-    across the clip (torchvision adjust_* semantics on uint8)."""
+# --------------------------------------------------------------------------- #
+# PIL-exact photometric ops. The reference's ColorJitterVideo/Image delegate
+# to torchvision.transforms.functional, whose PIL backend is ImageEnhance
+# (blend against a degenerate image) for brightness/saturation/contrast and a
+# uint8-HSV roll for hue. These vectorized numpy replicas are BIT-EQUAL to
+# that path (tests/test_colorjitter_reference_oracle.py runs the reference
+# module on real PIL and demands exact equality):
+#   * gray: Pillow convert("L") integer formula (L24 >> 16 with +0x8000);
+#   * blend: Pillow Blend.c — float arithmetic, TRUNCATING uint8 store;
+#   * hsv: Pillow Convert.c rgb2hsv/hsv2rgb_row — float32 divisions/stores
+#     but double-literal arithmetic (the 1-ulp difference flips truncated
+#     LSBs, so the precision mix matters).
+# Parity target: /root/reference/lib/data_utils/transforms/color_jitter.py
+# + torchvision/transforms/_functional_pil.py adjust_* semantics.
+# --------------------------------------------------------------------------- #
+
+def _pil_gray(img):
+    """Pillow convert('L'): (R*19595 + G*38470 + B*7471 + 0x8000) >> 16."""
+    r = img[..., 0].astype(np.uint32)
+    g = img[..., 1].astype(np.uint32)
+    b = img[..., 2].astype(np.uint32)
+    return ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(np.uint8)
+
+
+def _pil_blend(degenerate, img, f):
+    """Pillow ImageEnhance blend: out = deg + f*(img-deg), truncated uint8."""
+    t = degenerate + np.float32(f) * (img.astype(np.float32) - degenerate)
+    return np.where(t <= 0, 0, np.where(t >= 255, 255, t)).astype(np.uint8)
+
+
+def adjust_brightness(img, f):
+    return _pil_blend(np.float32(0.0), img, f)
+
+
+def adjust_saturation(img, f):
+    return _pil_blend(_pil_gray(img).astype(np.float32)[..., None], img, f)
+
+
+def adjust_contrast(img, f):
+    # ImageEnhance.Contrast: solid gray at round-half-up mean of convert("L")
+    mean = int(_pil_gray(img).astype(np.float64).mean() + 0.5)
+    return _pil_blend(np.float32(mean), img, f)
+
+
+def _rgb_to_hsv_pil(rgb):
+    """Pillow Convert.c rgb2hsv_row, vectorized bit-exact (verified against
+    PIL over random + structured grids in the oracle test)."""
+    r = rgb[..., 0].astype(np.float32)
+    g = rgb[..., 1].astype(np.float32)
+    b = rgb[..., 2].astype(np.float32)
+    maxc = np.maximum(r, np.maximum(g, b))
+    minc = np.minimum(r, np.minimum(g, b))
+    v = maxc.astype(np.uint8)
+    eq = maxc == minc
+    cr = np.where(eq, 1.0, maxc - minc).astype(np.float32)
+    s = (np.where(eq, 0.0, maxc - minc) / np.where(maxc == 0, 1.0, maxc)).astype(np.float32)
+    rc = ((maxc - r) / cr).astype(np.float32)
+    gc = ((maxc - g) / cr).astype(np.float32)
+    bc = ((maxc - b) / cr).astype(np.float32)
+    # C source uses double literals: h accumulates in f64, stores to float
+    h64 = np.where(
+        r == maxc, bc.astype(np.float64) - gc,
+        np.where(g == maxc, 2.0 + rc.astype(np.float64) - bc,
+                 4.0 + gc.astype(np.float64) - rc))
+    h = h64.astype(np.float32)
+    h = np.mod(h.astype(np.float64) / 6.0 + 1.0, 1.0).astype(np.float32)
+    uh = np.clip(h.astype(np.float64) * 255.0, 0, 255).astype(np.int32)
+    us = np.clip(s.astype(np.float64) * 255.0, 0, 255).astype(np.int32)
+    uh = np.where(eq, 0, uh).astype(np.uint8)
+    us = np.where(eq, 0, us).astype(np.uint8)
+    return np.stack([uh, us, v], axis=-1)
+
+
+def _hsv_to_rgb_pil(hsv):
+    """Pillow Convert.c hsv2rgb_row, vectorized bit-exact (verified
+    exhaustively over all 256^3 HSV triples against PIL)."""
+    h = hsv[..., 0].astype(np.float64)
+    s = hsv[..., 1]
+    v = hsv[..., 2]
+    h6 = h * 6.0 / 255.0
+    i = np.floor(h6).astype(np.int32)
+    f = (h6 - i).astype(np.float32)  # float store in C
+    fs = (s.astype(np.float64) / 255.0).astype(np.float32)
+    fd, fsd = f.astype(np.float64), fs.astype(np.float64)
+    vd = v.astype(np.float32).astype(np.float64)
+    # C round(): half away from zero; everything here is >= 0
+    p = np.clip(np.floor(vd * (1.0 - fsd) + 0.5), 0, 255).astype(np.uint8)
+    q = np.clip(np.floor(vd * (1.0 - fsd * fd) + 0.5), 0, 255).astype(np.uint8)
+    t = np.clip(np.floor(vd * (1.0 - fsd * (1.0 - fd)) + 0.5), 0, 255).astype(np.uint8)
+    im = np.mod(i, 6)
+    sel = [im == k for k in range(6)]
+    r = np.select(sel, [v, q, p, p, t, v])
+    g = np.select(sel, [t, v, v, q, p, p])
+    b = np.select(sel, [p, p, t, v, v, q])
+    out = np.stack([r, g, b], axis=-1).astype(np.uint8)
+    gray = s == 0
+    out[gray] = np.stack([v, v, v], axis=-1).astype(np.uint8)[gray]
+    return out
+
+
+def adjust_hue(img, f):
+    """torchvision PIL-backend adjust_hue: roll the uint8 hue channel by
+    trunc(f*255) with wraparound (numpy-1.x modular float->uint8 cast)."""
+    hsv = _rgb_to_hsv_pil(img)
+    shift = np.uint8(int(np.trunc(f * 255.0)) % 256)
+    hsv[..., 0] = hsv[..., 0] + shift  # uint8 wraparound, like np_h += shift
+    return _hsv_to_rgb_pil(hsv)
+
+
+class _ColorJitter:
+    """Factor draws + op assembly shared by the video/image variants
+    (/root/reference/.../color_jitter.py:8-38: brightness, saturation, hue,
+    contrast appended in that order, then shuffled)."""
 
     def __init__(self, brightness=0.0, contrast=0.0, saturation=0.0, hue=0.0):
         self.b, self.c, self.s, self.h = brightness, contrast, saturation, hue
 
-    @staticmethod
-    def _brightness(img, f):
-        return np.clip(img.astype(np.float32) * f, 0, 255).astype(np.uint8)
-
-    @staticmethod
-    def _contrast(img, f):
-        mean = round(cv2.cvtColor(img, cv2.COLOR_RGB2GRAY).astype(np.float32).mean())
-        return np.clip(img.astype(np.float32) * f + mean * (1 - f), 0, 255).astype(np.uint8)
-
-    @staticmethod
-    def _saturation(img, f):
-        gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)[..., None].astype(np.float32)
-        return np.clip(img.astype(np.float32) * f + gray * (1 - f), 0, 255).astype(np.uint8)
-
-    @staticmethod
-    def _hue(img, f):
-        hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
-        h = hsv[..., 0].astype(np.int16)
-        hsv[..., 0] = ((h + int(round(f * 180))) % 180).astype(np.uint8)
-        return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
-
-    def __call__(self, inst, rng: np.random.RandomState):
+    def _ops(self, rng: np.random.RandomState):
         ops = []
         if self.b > 0:
             f = rng.uniform(max(0, 1 - self.b), 1 + self.b)
-            ops.append(lambda im, f=f: self._brightness(im, f))
+            ops.append(lambda im, f=f: adjust_brightness(im, f))
         if self.s > 0:
             f = rng.uniform(max(0, 1 - self.s), 1 + self.s)
-            ops.append(lambda im, f=f: self._saturation(im, f))
+            ops.append(lambda im, f=f: adjust_saturation(im, f))
         if self.h > 0:
             f = rng.uniform(-self.h, self.h)
-            ops.append(lambda im, f=f: self._hue(im, f))
+            ops.append(lambda im, f=f: adjust_hue(im, f))
         if self.c > 0:
             f = rng.uniform(max(0, 1 - self.c), 1 + self.c)
-            ops.append(lambda im, f=f: self._contrast(im, f))
+            ops.append(lambda im, f=f: adjust_contrast(im, f))
         order = rng.permutation(len(ops))
+        return [ops[i] for i in order]
+
+
+class ColorJitterVideo(_ColorJitter):
+    """Brightness/saturation/hue/contrast with factors and op order shared
+    across the clip (torchvision adjust_* PIL semantics on uint8)."""
+
+    def __call__(self, inst, rng: np.random.RandomState):
+        ops = self._ops(rng)
         out = dict(inst)
-        out["clip"] = [
-            _chain(frame, [ops[i] for i in order]) for frame in inst["clip"]
-        ]
+        out["clip"] = [_chain(frame, ops) for frame in inst["clip"]]
+        return out
+
+
+class ColorJitterImage(_ColorJitter):
+    """Single-image variant (reference color_jitter.py:99-155)."""
+
+    def __call__(self, inst, rng: np.random.RandomState):
+        out = dict(inst)
+        out["image"] = _chain(inst["image"], self._ops(rng))
         return out
 
 
@@ -370,15 +475,21 @@ class Compose:
         return inst
 
 
-def build_train_transforms(cfg_dataset) -> Compose:
-    """The reference's train transform stack (train.py:40-57 equivalent)."""
+def build_train_transforms(cfg_dataset, color_jitter: bool = True) -> Compose:
+    """The reference's train transform stack (train.py:40-57 equivalent).
+
+    color_jitter=False builds the 2D/image variant: the reference jitters
+    ONLY the 3D video pipeline (transforms_3d gets ColorJitterVideo with
+    brightness=contrast=saturation=hue=COLOR_JITTER; transforms_2d and
+    transforms_img do not — /root/reference/train.py:40-63)."""
     d = cfg_dataset
     ts = [
         CropVideo(d.HEIGHT, d.WIDTH, d.ROT_JITTER, d.SIZE_JITTER,
                   d.RANDOM_CROP_P, d.RANDOM_CROP_SIZE),
     ]
-    if d.COLOR_JITTER > 0:
-        ts.append(ColorJitterVideo(d.COLOR_JITTER, d.COLOR_JITTER, d.COLOR_JITTER, 0.0))
+    if color_jitter and d.COLOR_JITTER > 0:
+        ts.append(ColorJitterVideo(d.COLOR_JITTER, d.COLOR_JITTER,
+                                   d.COLOR_JITTER, d.COLOR_JITTER))
     if d.ERASE_PROB > 0:
         ts.append(RandomEraseVideo(d.ERASE_PROB, d.ERASE_PART, d.ERASE_FILL,
                                    d.ERASE_KP, d.ERASE_MARGIN))

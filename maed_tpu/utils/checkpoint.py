@@ -47,14 +47,27 @@ def _write(path: str, state_np: Dict[str, Any], is_best: bool) -> None:
         shutil.rmtree(path)
     _checkpointer().save(path, state_np)
     if is_best:
+        # crash-safe model_best update: stage the copy next to the target,
+        # then swap via rename. The previous best survives on disk (as
+        # model_best or model_best.old) until the new one is fully written —
+        # a crash mid-copy can no longer destroy both (ADVICE r3 medium).
         best = osp.join(osp.dirname(path), "model_best")
+        tmp = best + ".tmp"
+        old = best + ".old"
+        for stale in (tmp, old):
+            if osp.exists(stale):
+                shutil.rmtree(stale)
+        shutil.copytree(path, tmp)
         if osp.exists(best):
-            shutil.rmtree(best)
-        shutil.copytree(path, best)
+            os.rename(best, old)
+        os.rename(tmp, best)
+        if osp.exists(old):
+            shutil.rmtree(old)
 
 
 def save_checkpoint(ckpt_dir: str, state: Dict[str, Any], is_best: bool = False,
-                    name: str = "checkpoint", async_write: bool = False):
+                    name: str = "checkpoint", async_write: bool = False,
+                    on_success=None):
     """Save {params, opt_state, batch_stats, epoch, performance, ...}.
 
     async_write=True snapshots the state to host numpy synchronously (so the
@@ -64,27 +77,36 @@ def save_checkpoint(ckpt_dir: str, state: Dict[str, Any], is_best: bool = False,
     trainer blocks on torch.save; /root/reference/lib/core/trainer.py:330).
     Writes are serialized: a new save waits out the previous one first, and
     load_checkpoint/wait_pending_saves are synchronization points.
+
+    on_success() (optional) runs after the write lands — inline for sync
+    writes, on the writer thread for async ones — so bookkeeping tied to the
+    on-disk state (best.txt, retention pruning) cannot run ahead of it.
     """
     os.makedirs(ckpt_dir, exist_ok=True)
     path = osp.join(osp.abspath(ckpt_dir), name)
-    # sync snapshot: device arrays fetch to host; host arrays must COPY
-    # (np.asarray alone aliases them, letting later caller mutations leak
-    # into the background write)
-    state_np = jax.tree.map(
-        lambda x: np.array(x) if isinstance(x, np.ndarray) else np.asarray(x),
-        state)
+    # sync snapshot: every leaf becomes a guaranteed OWNING host copy.
+    # np.asarray can alias host numpy, and on the CPU backend a jax Array's
+    # __array__ may return a zero-copy view that the jitted step's buffer
+    # donation then reuses under the background write (ADVICE r3 low).
+    state_np = jax.tree.map(lambda x: np.array(x), state)
     if not async_write:
         _write(path, state_np, is_best)
+        if on_success is not None:
+            on_success()
         return path
     wait_pending_saves()  # one write in flight at a time; surface errors
 
     def run():
         try:
             _write(path, state_np, is_best)
+            if on_success is not None:
+                on_success()
         except BaseException as e:  # re-raised at the next sync point
             _pending_error.append(e)
 
-    t = threading.Thread(target=run, name=f"ckpt-write-{name}", daemon=True)
+    # non-daemon: the interpreter joins the writer at exit, so an exception
+    # or Ctrl-C unwinding past the trainer cannot kill a write mid-flight
+    t = threading.Thread(target=run, name=f"ckpt-write-{name}", daemon=False)
     t.start()
     _pending.append(t)
     return path
