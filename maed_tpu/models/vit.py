@@ -48,6 +48,23 @@ def _use_fused_attention() -> bool:
     return os.environ.get("MAED_FUSED_ATTENTION", "0") == "1"
 
 
+def _use_token_major() -> bool:
+    """Opt-in token-major block layout for parallel-mode clips
+    (MAED_TOKEN_MAJOR=1) — VERDICT r3 next #4.
+
+    The frame-major (B*T, N, C) contract gives the spatial branch contiguous
+    rows but makes the temporal branch's (B, T, N, h, d) batched dots read
+    T-strided operands — XLA materializes layout copies around them fwd+bwd
+    (~26 ms/step of the 155.4 ms train step, ~7 ms of the eval forward).
+    Token-major (B*N, T, C) flips the roles: ONE relayout at stack entry, a
+    free cls-row slice at exit, the temporal branch becomes plain contiguous
+    row attention, and the spatial branch becomes the grouped einsum whose
+    much larger 197x197 dots must tile-load operands anyway. Math is
+    identical either way (tests/test_token_major.py); flip by measurement.
+    """
+    return os.environ.get("MAED_TOKEN_MAJOR", "0") == "1"
+
+
 class DropPath(nn.Module):
     """Per-sample stochastic depth on a residual branch."""
 
@@ -169,6 +186,10 @@ class StAttention(nn.Module):
     proj_drop: float = 0.0
     st_mode: str = "vanilla"
     dtype: Any = jnp.float32
+    # token-major contract (parallel mode only): x is (B*N, T, C) and the
+    # `seqlen` call arg carries N, the spatial group size (see
+    # _use_token_major). Set by VisionTransformer, never user-facing.
+    token_major: bool = False
 
     def setup(self):
         assert self.st_mode in ST_MODES, self.st_mode
@@ -265,14 +286,25 @@ class StAttention(nn.Module):
             out = temporal_attention(qkv, seqlen, d ** -0.5)  # (h, BT, N, d)
             return jnp.transpose(out, (1, 2, 0, 3)).reshape(BT, N, h * d)
 
-        def to_t(a):  # (BT, N, h, d) -> (B, T, N, h, d): a free reshape
-            return a.reshape(B, seqlen, N, h, d)
+        return self._grouped(qkv, seqlen, deterministic)
+
+    def _grouped(self, qkv, groups, deterministic):
+        """Attention over the leading-axis grouping: rows (G*S, L) regrouped
+        as (G, S, L, h, d) with attention over S, batched per (L, h). In the
+        frame-major contract this is the temporal branch (S=T, L=N); in the
+        token-major contract the SAME einsum is the spatial branch (S=N,
+        L=T) — the layout experiment swaps which branch pays the grouping."""
+        GS, L, _, h, d = qkv.shape
+        G = GS // groups
+
+        def to_g(a):  # (G*S, L, h, d) -> (G, S, L, h, d): a free reshape
+            return a.reshape(G, groups, L, h, d)
 
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        logits = jnp.einsum("bqnhd,bknhd->bnhqk", to_t(q), to_t(k)) * (d ** -0.5)
+        logits = jnp.einsum("bqnhd,bknhd->bnhqk", to_g(q), to_g(k)) * (d ** -0.5)
         probs = _softmax_drop(logits, q.dtype, self.attn_drop, deterministic, self)
-        out = jnp.einsum("bnhqk,bknhd->bqnhd", probs, to_t(v))
-        return out.reshape(BT, N, h * d)
+        out = jnp.einsum("bnhqk,bknhd->bqnhd", probs, to_g(v))
+        return out.reshape(GS, L, h * d)
 
     def _coupling(self, qkv, seqlen, deterministic):
         BT, N, _, h, d = qkv.shape
@@ -323,6 +355,27 @@ class StAttention(nn.Module):
         elif self.st_mode == "series":
             y = self._spatial(self._qkv_heads(x, ln, deterministic), deterministic)
             y = self._temporal(self._qkv_heads(y, deterministic=deterministic), seqlen, deterministic)
+        elif self.st_mode == "parallel" and self.token_major:
+            # x is (B*N, T, C), seqlen carries N. Temporal branch = plain
+            # contiguous row attention; spatial branch = the grouped einsum.
+            N = seqlen
+            B = BT // N  # BT here is really B*N
+            qkv = self._qkv_heads(x, ln, deterministic)
+            y_t = self._spatial(qkv, deterministic)
+            y_s = self._grouped(qkv, N, deterministic)
+            # the gate's per-frame means reduce over the N grouping
+            ys_m = y_s.reshape(B, N, -1, C).mean(axis=1)  # (B, T, C)
+            yt_m = y_t.reshape(B, N, -1, C).mean(axis=1)
+            alpha = jnp.concatenate([ys_m, yt_m], axis=-1)
+            k_ts, b_ts = self.ts_attn_p()
+            alpha = jnp.dot(alpha.astype(self.dtype), k_ts.astype(self.dtype))
+            alpha = (alpha + b_ts.astype(self.dtype)).reshape(B, -1, C, 2)
+            alpha = jax.nn.softmax(alpha, axis=-1)
+            # count_attn accounting keeps the frame-major (B*T, 1, C, 2) view
+            self.sow("intermediates", "ts_gate", alpha.reshape(-1, 1, C, 2))
+            y = (y_t.reshape(B, N, -1, C) * alpha[:, None, ..., 1]
+                 + y_s.reshape(B, N, -1, C) * alpha[:, None, ..., 0])
+            y = y.reshape(BT, -1, C)
         elif self.st_mode == "parallel":
             from maed_tpu.ops.mlp import fused_gate_proj, use_fused_gate
 
@@ -368,6 +421,7 @@ class Block(nn.Module):
     drop_path: float = 0.0
     st_mode: str = "vanilla"
     dtype: Any = jnp.float32
+    token_major: bool = False  # see StAttention.token_major
 
     @nn.compact
     def __call__(self, x, seqlen: int = 1, deterministic: bool = True):
@@ -384,7 +438,8 @@ class Block(nn.Module):
             ln_arg = None
         attn = StAttention(
             self.dim, self.num_heads, self.qkv_bias, self.attn_drop, self.drop,
-            st_mode=self.st_mode, dtype=self.dtype, name="attn",
+            st_mode=self.st_mode, dtype=self.dtype,
+            token_major=self.token_major, name="attn",
         )
         stochastic1 = not deterministic and (self.drop > 0.0 or self.drop_path > 0.0)
         if self.st_mode == "parallel" and not stochastic1:
@@ -528,15 +583,36 @@ class VisionTransformer(nn.Module):
 
         tokens = nn.Dropout(self.drop_rate)(tokens, deterministic=deterministic)
 
+        # token-major layout experiment (see _use_token_major): only for
+        # parallel-mode clips, and only when every stochastic op is inert so
+        # DropPath/Dropout row semantics cannot differ between contracts.
+        _, N, C = tokens.shape
+        token_major = (
+            self.st_mode == "parallel" and seqlen > 1 and _use_token_major()
+            and (deterministic or (self.drop_rate == 0.0
+                                   and self.attn_drop_rate == 0.0
+                                   and self.drop_path_rate == 0.0)))
+        if token_major:
+            B = BT // seqlen
+            # ONE relayout for the whole stack: (B*T, N, C) -> (B*N, T, C)
+            tokens = tokens.reshape(B, seqlen, N, C).transpose(0, 2, 1, 3)
+            tokens = tokens.reshape(B * N, seqlen, C)
+        blk_seqlen = N if token_major else seqlen
+
         dpr = [float(r) for r in np.linspace(0.0, self.drop_path_rate, self.depth)]
         block_cls = nn.remat(Block, static_argnums=(2, 3)) if self.remat else Block
         for i in range(self.depth):
             tokens = block_cls(
                 self.embed_dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
                 self.drop_rate, self.attn_drop_rate, dpr[i],
-                st_mode=self.st_mode, dtype=self.dtype, name=f"blocks_{i}",
-            )(tokens, seqlen, deterministic)
+                st_mode=self.st_mode, dtype=self.dtype,
+                token_major=token_major, name=f"blocks_{i}",
+            )(tokens, blk_seqlen, deterministic)
 
+        if token_major:
+            # exit relayout is FREE: only the cls rows are consumed — slice
+            # them (n=0) instead of transposing the whole state back.
+            tokens = tokens.reshape(B, N, seqlen, C)[:, 0].reshape(BT, 1, C)
         tokens = FastLayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(tokens)
         feat = tokens[:, 0]
         if self.representation_size:

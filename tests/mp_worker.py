@@ -8,6 +8,16 @@ process_allgather, and process_index rank gating. Reference semantics:
 lib/dataset/loaders.py:67-133 (DistributedSampler shards).
 
 Usage: python tests/mp_worker.py <process_id> <num_processes> <port> <outdir>
+       [mode]
+
+mode 'flat' (default): the full 2-process campaign below.
+mode 'dcn': the 4-process ('dcn', 'dp') hierarchical-mesh train step — the
+closest executable analogue of the reference's 2-node x 4-GPU launch
+(/root/reference/train.py:166-184): the 'dcn' axis crosses process
+boundaries (gloo as the DCN stand-in), 'dp' stays within each process's
+local devices, and the gradient all-reduce GSPMD inserts becomes the
+hierarchical intra-then-inter reduction. All ranks must hold bit-identical
+replicated results.
 """
 
 import json
@@ -18,6 +28,7 @@ import sys
 def main():
     pid, nprocs, port, outdir = (
         int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "flat"
 
     import jax
 
@@ -34,6 +45,11 @@ def main():
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import numpy as np
+
+    if mode == "dcn":
+        _dcn_phase(pid, nprocs, outdir)
+        jax.distributed.shutdown()
+        return
 
     from maed_tpu.core.evaluate import Evaluator
     from maed_tpu.data.loaders import ShardedLoader
@@ -138,6 +154,83 @@ def main():
         }, f)
 
     jax.distributed.shutdown()
+
+
+def _dcn_phase(pid: int, nprocs: int, outdir: str):
+    """The ('dcn', 'dp') hierarchical train step across 4 processes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maed_tpu.core.loss import LossWeights
+    from maed_tpu.models import MAED
+    from maed_tpu.parallel.mesh import make_mesh, param_shardings, shard_batch
+    from maed_tpu.parallel.train_step import (
+        init_train_state, make_optimizer, make_train_step,
+    )
+
+    n_local = len(jax.local_devices())
+
+    class _Optim:
+        OPTIM, LR, WD, MOMENTUM = "Adam", 1e-3, 1e-5, 0.9
+        WARMUP_EPOCH, WARMUP_FACTOR, MILESTONES = 2, 0.1, [4, 6]
+
+    model = MAED(encoder="ste", num_blocks=1, num_heads=2,
+                 st_mode="parallel", decoder="ktd", hidden_dim=32)
+    from maed_tpu.utils.smpl_io import synthetic_smpl_model
+
+    smpl = synthetic_smpl_model(num_verts=64)
+    tx = make_optimizer(_Optim, steps_per_epoch=10)
+    sample = jnp.zeros((1, 2, 32, 32, 3), jnp.float32)
+    state = init_train_state(model, tx, sample, smpl, jax.random.PRNGKey(0))
+    step = make_train_step(model, tx, smpl, LossWeights(), donate=False)
+
+    # dcn across process boundaries (jax global device order is process-
+    # major), dp within each process's local devices — the reference's
+    # node x GPU hierarchy
+    mesh = make_mesh(dp=n_local, tp=1, dcn=nprocs)
+    assert "dcn" in mesh.shape and mesh.shape["dcn"] == nprocs
+    assert mesh.size == nprocs * n_local
+    shardings = param_shardings(state.params, mesh)
+    state = state._replace(
+        params=jax.tree.map(jax.device_put, state.params, shardings))
+
+    B = mesh.size  # image batch shards jointly over ('dcn', 'dp')
+    n2d = n3d = B // 2  # video batch = concat(2D clips, 3D clips)
+    g = np.random.RandomState(7)  # identical batch on every process
+    kp2d = g.randn(n3d, 2, 49, 3).astype(np.float32)
+    kp2d[..., 2] = 1.0
+    vid = {
+        "images": g.randn(B, 2, 32, 32, 3).astype(np.float32),
+        "target_3d": {
+            "kp_2d": kp2d,
+            "kp_3d": np.concatenate(
+                [g.randn(n3d, 2, 49, 3), np.ones((n3d, 2, 49, 1))],
+                axis=3).astype(np.float32),
+            "theta": (g.randn(n3d, 2, 85) * 0.1).astype(np.float32),
+            "w_smpl": np.ones((n3d, 2), np.float32),
+        },
+        "target_2d": {"kp_2d": g.randn(n2d, 2, 49, 3).astype(np.float32)},
+    }
+    vid["target_2d"]["kp_2d"][..., 2] = 1.0
+    vid = shard_batch(vid, mesh)
+    assert vid["images"].sharding.spec[0] == ("dcn", "dp")
+
+    new_state, metrics = step(state, vid, None)
+    loss = float(np.asarray(jax.device_get(metrics["loss"])))
+    psum = float(sum(
+        np.float64(np.asarray(jax.device_get(jnp.sum(jnp.abs(p)))))
+        for p in jax.tree.leaves(new_state.params)))
+
+    with open(os.path.join(outdir, f"result_{pid}.json"), "w") as f:
+        json.dump({
+            "process_count": jax.process_count(),
+            "global_devices": len(jax.devices()),
+            "local_devices": n_local,
+            "mesh_axes": dict(mesh.shape),
+            "mesh_loss": loss,
+            "mesh_param_fingerprint": psum,
+        }, f)
 
 
 if __name__ == "__main__":

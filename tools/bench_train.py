@@ -8,6 +8,16 @@ Adam update in one executable. --stage1 switches to the stage-1 recipe
 BATCH_SIZE_IMG=128). Prints ms/step and frames/s.
 
 Usage: python tools/bench_train.py [--stage1] [--remat] [--dtype bf16|f32]
+
+--learn N switches from timing to a LEARNING soak (VERDICT r3 next #2): N
+real stage-2 steps at flagship scale (6x768, 224px, bf16 + pallas-LBS custom
+VJP + donation — the exact shipped training path) over a fixed set of
+self-consistent batches (targets derived from the SMPL forward, not noise),
+recording the full loss trajectory to --out as JSON and asserting sustained
+decrease (mean of last 10% < 0.8x mean of first 10%). Run it once per dtype
+and compare the two trajectories to bound the bf16-vs-f32 divergence — the
+training-numerics bug class (custom-VJP gradient, bf16 drift) that a tiny
+CPU overfit test cannot see. Round-4 reference curves: doc/design.md.
 """
 
 import argparse
@@ -32,6 +42,18 @@ def main():
                     help="donate the state buffers (the production Trainer "
                     "path) — lets XLA update params/opt-state in place")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--learn", type=int, default=0,
+                    help="run N learning steps over fixed self-consistent "
+                    "batches and record the loss trajectory (see module "
+                    "docstring); 0 = timing mode")
+    ap.add_argument("--out", default="",
+                    help="--learn: write the trajectory JSON here")
+    ap.add_argument("--n_batches", type=int, default=4,
+                    help="--learn: distinct batches cycled during the soak")
+    ap.add_argument("--smoke", action="store_true",
+                    help="--learn wiring check at tiny scale (1 block, 64px) "
+                    "on CPU; records the trajectory but skips the sustained-"
+                    "decrease assert (too few steps to demand it)")
     ap.add_argument("--trace", default="",
                     help="capture a jax.profiler trace of the timed loop to "
                     "this dir (feed to tools/trace_ops.py for the per-op "
@@ -55,7 +77,11 @@ def main():
     from maed_tpu.utils.smpl_io import find_smpl_model
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    if args.stage1:
+    if args.smoke:
+        model = MAED(encoder="ste", num_blocks=1, num_heads=2,
+                     st_mode="parallel", decoder="ktd", hidden_dim=64,
+                     dtype=dtype)
+    elif args.stage1:
         # configs/config_stage1.yaml: cnn (torchvision resnet50) encoder,
         # iterative decoder is NOT used there either — stage 1 trains ktd
         # on image batches only (reference lib/models/maed.py:35-37)
@@ -73,11 +99,13 @@ def main():
 
     tx = make_optimizer(_O(), steps_per_epoch=500)
     rng = np.random.RandomState(0)
-    n2d, n3d, nimg, T = 3, 4, 7, 16
+    n2d, n3d, nimg, T, res = 3, 4, 7, 16, 224
     if args.stage1:
         n2d, n3d, nimg = 0, 0, 128  # BATCH_SIZE_IMG, config_stage1.yaml
+    if args.smoke:
+        n2d, n3d, nimg, T, res = 1, 2, 2, 4, 64
     vid = None if n2d + n3d == 0 else {
-        "images": jnp.asarray(rng.randn(n2d + n3d, T, 224, 224, 3).astype(np.float32)),
+        "images": jnp.asarray(rng.randn(n2d + n3d, T, res, res, 3).astype(np.float32)),
         "target_2d": {"kp_2d": jnp.asarray(rng.rand(n2d, T, 49, 3).astype(np.float32))},
         "target_3d": {
             "kp_2d": jnp.asarray(rng.rand(n3d, T, 49, 3).astype(np.float32)),
@@ -87,7 +115,7 @@ def main():
         },
     }
     img = {
-        "image": jnp.asarray(rng.randn(nimg, 224, 224, 3).astype(np.float32)),
+        "image": jnp.asarray(rng.randn(nimg, res, res, 3).astype(np.float32)),
         "kp_2d": jnp.asarray(rng.rand(nimg, 49, 3).astype(np.float32)),
         "kp_3d": jnp.asarray(rng.rand(nimg, 49, 4).astype(np.float32)),
         "theta": jnp.asarray(rng.rand(nimg, 85).astype(np.float32)),
@@ -99,6 +127,10 @@ def main():
     step = make_train_step(model, tx, smpl, LossWeights(),
                            has_batch_stats=bool(state.batch_stats),
                            donate=args.donate)
+
+    if args.learn:
+        _run_learning_soak(args, step, state, smpl, n2d, n3d, nimg, T, res)
+        return
 
     # print EVERY kernel gate so an A/B log header can never claim defaults
     # while a non-default kernel was active
@@ -139,6 +171,109 @@ def main():
     frames = (n2d + n3d) * T + nimg
     print(f"train step {dt * 1e3:.1f} ms -> {frames / dt:.0f} frames/s "
           f"(loss {float(np.asarray(metrics['loss'])):.3f})")
+
+
+def _consistent_targets(rng, smpl, n, T):
+    """Self-consistent (theta, kp_3d, kp_2d) for n*T frames: targets come
+    from the SMPL forward itself (smooth pose tracks -> native 49-joint bank
+    -> weak-perspective projection), so the loss composition is the real
+    geometry, not noise, and zero loss is actually reachable."""
+    import jax
+    import jax.numpy as jnp
+
+    from maed_tpu.ops.geometry import weak_perspective_projection
+    from maed_tpu.ops.smpl import smpl_forward
+
+    # smooth tracks: anchor poses + cosine ease (matches real motion stats)
+    anchors = rng.randn(n, 4, 72).astype(np.float32) * 0.4
+    t = np.linspace(0, 3, T)
+    i0 = np.minimum(t.astype(int), 2)
+    w = (0.5 - 0.5 * np.cos(np.pi * (t - i0)))[None, :, None].astype(np.float32)
+    pose = (1 - w) * anchors[:, i0] + w * anchors[:, i0 + 1]  # (n, T, 72)
+    shape = np.repeat(rng.randn(n, 1, 10).astype(np.float32) * 0.3, T, axis=1)
+    cam = np.tile(np.array([1.0, 0.0, 0.0], np.float32), (n, T, 1))
+
+    out = jax.jit(lambda p, s: smpl_forward(
+        smpl, s.reshape(-1, 10), pose_axis_angle=p.reshape(-1, 72))["joints"]
+    )(jnp.asarray(pose), jnp.asarray(shape))
+    joints = np.asarray(out).reshape(n, T, 49, 3)
+    kp2d = np.asarray(weak_perspective_projection(
+        jnp.asarray(joints), jnp.asarray(cam)))
+    conf = np.ones((n, T, 49, 1), np.float32)
+    return {
+        "theta": np.concatenate([cam, pose, shape], axis=-1),
+        "kp_3d": np.concatenate([joints, conf], axis=-1),
+        "kp_2d": np.concatenate([kp2d, conf], axis=-1),
+    }
+
+
+def _learn_batch(seed, smpl, n2d, n3d, nimg, T, res):
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(seed)
+    tgt3 = _consistent_targets(rng, smpl, n3d, T)
+    tgt2 = _consistent_targets(rng, smpl, n2d, T)
+    vid = {
+        "images": jnp.asarray(rng.randn(n2d + n3d, T, res, res, 3).astype(np.float32)),
+        "target_2d": {"kp_2d": jnp.asarray(tgt2["kp_2d"])},
+        "target_3d": {
+            "kp_2d": jnp.asarray(tgt3["kp_2d"]),
+            "kp_3d": jnp.asarray(tgt3["kp_3d"]),
+            "theta": jnp.asarray(tgt3["theta"]),
+            "w_smpl": jnp.ones((n3d, T), np.float32),
+        },
+    }
+    tgti = _consistent_targets(rng, smpl, nimg, 1)
+    img = {
+        "image": jnp.asarray(rng.randn(nimg, res, res, 3).astype(np.float32)),
+        "kp_2d": jnp.asarray(tgti["kp_2d"][:, 0]),
+        "kp_3d": jnp.asarray(tgti["kp_3d"][:, 0]),
+        "theta": jnp.asarray(tgti["theta"][:, 0]),
+        "w_smpl": jnp.ones((nimg,), np.float32),
+    }
+    return vid, img
+
+
+def _run_learning_soak(args, step, state, smpl, n2d, n3d, nimg, T, res):
+    """N real train steps over a fixed batch set; loss trajectory to JSON."""
+    import json
+
+    batches = [_learn_batch(1000 + k, smpl, n2d, n3d, nimg, T, res)
+               for k in range(args.n_batches)]
+    print(f"[learn] {args.learn} steps over {args.n_batches} fixed batches, "
+          f"dtype={args.dtype} donate={args.donate}", file=sys.stderr)
+    losses = []  # device scalars; fetched once at the end (no per-step sync)
+    t0 = time.perf_counter()
+    for i in range(args.learn):
+        vid, img = batches[i % len(batches)]
+        state, metrics = step(state, vid, img)
+        losses.append(metrics["loss"])
+        if (i + 1) % 50 == 0:
+            print(f"[learn] step {i + 1}: loss "
+                  f"{float(np.asarray(losses[-1])):.4f}", file=sys.stderr)
+    losses = [float(np.asarray(l)) for l in losses]
+    dt = time.perf_counter() - t0
+
+    k = max(1, args.learn // 10)
+    head, tail = float(np.mean(losses[:k])), float(np.mean(losses[-k:]))
+    result = {
+        "dtype": args.dtype, "steps": args.learn, "n_batches": args.n_batches,
+        "donate": args.donate, "head_mean": head, "tail_mean": tail,
+        "ratio": tail / head, "wall_s": dt, "losses": losses,
+    }
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f)
+    print(f"[learn] loss {head:.4f} -> {tail:.4f} "
+          f"(ratio {tail / head:.3f}) in {dt:.0f}s")
+    if args.smoke:
+        print("[learn] smoke mode: wiring OK, skipping the sustained-"
+              "decrease assert")
+        return
+    assert tail < 0.8 * head, (
+        f"no sustained learning at flagship scale: first-decile mean {head:.4f}"
+        f" -> last-decile mean {tail:.4f} (need < 0.8x)")
+    print("[learn] PASS — sustained loss decrease at flagship scale")
 
 
 if __name__ == "__main__":
