@@ -1,0 +1,141 @@
+"""Outage-resilient sequential job queue for the TPU backend.
+
+The operational hazard this tool exists for: the remote TPU tunnel can die
+for hours at a time, and a dead tunnel HANGS `jax.devices()` rather than
+raising (see bench.py::_wait_for_backend and CLAUDE.md). Any unattended
+measurement or training session therefore needs (a) a bounded liveness
+probe that runs REAL device work in a killable subprocess, (b) wait-and-
+retry across the outage, and (c) marker-based resume so a relaunch skips
+completed steps. This generalizes the pattern the per-round measurement
+sessions use; on a real pod the same shape covers preemption/maintenance
+windows.
+
+Usage:
+    python tools/tpu_queue.py plan.json [--marks DIR] [--budget-hours H]
+
+plan.json: {"steps": [{"name": ..., "cmd": ..., "timeout": seconds}, ...],
+            "probe": optional shell command overriding the default jax
+                     matmul probe (exit 0 = backend usable),
+            "probe_timeout": seconds (default 300)}
+
+Rules enforced: steps run strictly one at a time (two TPU processes contend
+~2x, CLAUDE.md), each under its own timeout; the backend is re-probed before
+every step (the tunnel can die mid-session); a failed step does NOT abort
+the queue (later steps may not need whatever broke); a step succeeds iff
+rc==0, which drops `<marks>/<name>.done` so relaunches are idempotent.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+DEFAULT_PROBE = (
+    f"{sys.executable} -c \"import jax, jax.numpy as jnp; "
+    "x = jnp.ones((128,128), jnp.bfloat16); print(float((x@x).sum()))\""
+)
+
+
+def _log(logf, msg):
+    line = f"[{time.strftime('%H:%M:%S')}] {msg}"
+    print(line, flush=True)
+    if logf:
+        with open(logf, "a") as f:
+            f.write(line + "\n")
+
+
+def backend_up(probe, probe_timeout, cwd):
+    """Bounded probe with REAL device work: a half-dead relay still accepts
+    connections (the local leg listens through an outage), so only completed
+    work proves the remote leg is alive."""
+    try:
+        r = subprocess.run(["sh", "-c", probe], timeout=probe_timeout,
+                           capture_output=True, cwd=cwd)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def wait_for_backend(probe, probe_timeout, budget_s, sleep_s, logf, cwd):
+    t0 = time.time()
+    n = 0
+    while True:
+        n += 1
+        if backend_up(probe, probe_timeout, cwd):
+            _log(logf, f"backend up (probe {n}, {time.time() - t0:.0f}s)")
+            return True
+        if time.time() - t0 + sleep_s >= budget_s:
+            _log(logf, f"backend still down after {n} probes "
+                       f"({time.time() - t0:.0f}s) — budget exhausted")
+            return False
+        _log(logf, f"backend down (probe {n}); sleeping {sleep_s}s")
+        time.sleep(sleep_s)
+
+
+def run_queue(plan, marks, budget_s, logf=None, cwd=None, sleep_s=600):
+    """Returns (completed, skipped, failed) step-name lists."""
+    os.makedirs(marks, exist_ok=True)
+    probe = plan.get("probe", DEFAULT_PROBE)
+    probe_timeout = plan.get("probe_timeout", 300)
+    done, skipped, failed = [], [], []
+    for step in plan["steps"]:
+        name, cmd = step["name"], step["cmd"]
+        tmo = step.get("timeout")
+        mark = os.path.join(marks, name + ".done")
+        if os.path.exists(mark):
+            _log(logf, f"skip {name} (marker exists)")
+            skipped.append(name)
+            continue
+        if not wait_for_backend(probe, probe_timeout, budget_s, sleep_s,
+                                logf, cwd):
+            failed.append(name)
+            _log(logf, f"abort: backend never came up before {name}")
+            break
+        _log(logf, f"start {name}: {cmd}")
+        t0 = time.time()
+        steplog = os.path.join(marks, name + ".log")
+        with open(steplog, "w") as out:
+            proc = subprocess.Popen(["sh", "-c", cmd], cwd=cwd, stdout=out,
+                                    stderr=subprocess.STDOUT)
+            try:
+                rc = proc.wait(timeout=tmo)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait()
+                rc = -9
+        dt = time.time() - t0
+        _log(logf, f"done {name}: rc={rc} in {dt:.0f}s (log: {steplog})")
+        if rc == 0:
+            with open(mark, "w") as f:
+                f.write(f"{dt:.0f}s\n")
+            done.append(name)
+        else:
+            failed.append(name)
+    return done, skipped, failed
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("plan", help="JSON plan file (see module docstring)")
+    ap.add_argument("--marks", default="/tmp/tpu_queue_marks")
+    ap.add_argument("--budget-hours", type=float, default=10.5,
+                    help="max wait for the backend before each step")
+    ap.add_argument("--sleep", type=int, default=600,
+                    help="seconds between liveness probes")
+    ap.add_argument("--log", default="")
+    ap.add_argument("--cwd", default=os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    args = ap.parse_args()
+    with open(args.plan) as f:
+        plan = json.load(f)
+    done, skipped, failed = run_queue(
+        plan, args.marks, args.budget_hours * 3600, logf=args.log or None,
+        cwd=args.cwd, sleep_s=args.sleep)
+    print(json.dumps({"done": done, "skipped": skipped, "failed": failed}))
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
