@@ -258,7 +258,6 @@ class StAttention(nn.Module):
 
     def _temporal(self, qkv, seqlen, deterministic):
         BT, N, _, h, d = qkv.shape
-        B = BT // seqlen
 
         if seqlen == 1 and (self.attn_drop == 0.0 or deterministic):
             # attention over a single frame is exactly the identity over v

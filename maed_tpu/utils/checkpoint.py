@@ -54,6 +54,15 @@ def _write(path: str, state_np: Dict[str, Any], is_best: bool) -> None:
         best = osp.join(osp.dirname(path), "model_best")
         tmp = best + ".tmp"
         old = best + ".old"
+        if not osp.exists(best):
+            # a previous run crashed inside the swap window below: model_best
+            # was renamed away (or a fully-staged .tmp never promoted). The
+            # leftovers are the only surviving copies of a best checkpoint —
+            # restore the newer one rather than deleting it as stale.
+            for survivor in (tmp, old):
+                if osp.exists(survivor):
+                    os.rename(survivor, best)
+                    break
         for stale in (tmp, old):
             if osp.exists(stale):
                 shutil.rmtree(stale)

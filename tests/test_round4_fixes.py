@@ -138,6 +138,31 @@ def test_model_best_survives_midcopy_crash(tmp_path, monkeypatch):
     assert not (tmp_path / "model_best.old").exists()
 
 
+def test_model_best_recovers_from_crash_inside_swap_window(tmp_path):
+    """Crash AFTER rename(best, old) but BEFORE rename(tmp, best): model_best
+    is momentarily absent and the only copies are .old (previous best) and
+    .tmp (fully staged new best). The next save must RESTORE a survivor —
+    the newer .tmp — not delete both as stale."""
+    from maed_tpu.utils import checkpoint as ckpt
+
+    ckpt.save_checkpoint(str(tmp_path), {"w": np.ones(3)}, is_best=True,
+                         name="epoch_0", async_write=False)
+    best = tmp_path / "model_best"
+    # reproduce the on-disk state of the crash window by hand
+    shutil.copytree(best, tmp_path / "model_best.tmp_src")
+    os.rename(best, tmp_path / "model_best.old")
+    os.rename(tmp_path / "model_best.tmp_src", tmp_path / "model_best.tmp")
+    assert not best.exists()
+
+    # a non-best save touches nothing; the next best save recovers + swaps
+    ckpt.save_checkpoint(str(tmp_path), {"w": 5 * np.ones(3)}, is_best=True,
+                         name="epoch_1", async_write=False)
+    restored = ckpt.load_checkpoint(str(best))
+    np.testing.assert_array_equal(restored["w"], 5 * np.ones(3))
+    assert not (tmp_path / "model_best.tmp").exists()
+    assert not (tmp_path / "model_best.old").exists()
+
+
 def test_on_success_runs_after_write_lands(tmp_path):
     """best.txt/pruning bookkeeping must observe the finished write: the
     callback fires on the writer thread only once the epoch dir exists."""

@@ -28,7 +28,7 @@ def test_runs_steps_and_drops_markers(tmp_path):
         {"name": "a", "cmd": f"echo one > {out}", "timeout": 30},
         {"name": "b", "cmd": f"echo two >> {out}", "timeout": 30},
     ])
-    done, skipped, failed = run_queue(plan, str(tmp_path / "marks"), 60)
+    done, skipped, failed, pending = run_queue(plan, str(tmp_path / "marks"), 60)
     assert done == ["a", "b"] and not skipped and not failed
     assert out.read_text() == "one\ntwo\n"
     assert (tmp_path / "marks" / "a.done").exists()
@@ -41,7 +41,7 @@ def test_resume_skips_completed_steps(tmp_path):
     plan = _plan([{"name": "a", "cmd": f"echo ran >> {out}", "timeout": 30}])
     marks = str(tmp_path / "marks")
     run_queue(plan, marks, 60)
-    done, skipped, failed = run_queue(plan, marks, 60)
+    done, skipped, failed, pending = run_queue(plan, marks, 60)
     assert skipped == ["a"] and not done and not failed
     assert out.read_text() == "ran\n"  # did NOT run twice
 
@@ -51,14 +51,14 @@ def test_failed_step_continues_queue_without_marker(tmp_path):
         {"name": "bad", "cmd": "exit 7", "timeout": 30},
         {"name": "good", "cmd": "true", "timeout": 30},
     ])
-    done, skipped, failed = run_queue(plan, str(tmp_path / "marks"), 60)
+    done, skipped, failed, pending = run_queue(plan, str(tmp_path / "marks"), 60)
     assert failed == ["bad"] and done == ["good"]
     assert not (tmp_path / "marks" / "bad.done").exists()
 
 
 def test_step_timeout_kills_and_marks_failed(tmp_path):
     plan = _plan([{"name": "hang", "cmd": "sleep 60", "timeout": 1}])
-    done, skipped, failed = run_queue(plan, str(tmp_path / "marks"), 60)
+    done, skipped, failed, pending = run_queue(plan, str(tmp_path / "marks"), 60)
     assert failed == ["hang"] and not done
 
 
@@ -67,9 +67,9 @@ def test_dead_backend_aborts_within_budget(tmp_path):
     out = tmp_path / "touched"
     plan = _plan([{"name": "a", "cmd": f"touch {out}", "timeout": 30}],
                  probe="false")
-    done, skipped, failed = run_queue(plan, str(tmp_path / "marks"), 2,
+    done, skipped, failed, pending = run_queue(plan, str(tmp_path / "marks"), 2,
                                       sleep_s=1)
-    assert failed == ["a"] and not out.exists()
+    assert pending == ["a"] and not failed and not out.exists()
 
 
 def test_hung_probe_is_killed_not_waited(tmp_path):
@@ -77,9 +77,42 @@ def test_hung_probe_is_killed_not_waited(tmp_path):
     # probe_timeout, not block forever
     plan = {"steps": [{"name": "a", "cmd": "true", "timeout": 30}],
             "probe": "sleep 60", "probe_timeout": 1}
-    done, skipped, failed = run_queue(plan, str(tmp_path / "marks"), 2,
+    done, skipped, failed, pending = run_queue(plan, str(tmp_path / "marks"), 2,
                                       sleep_s=1)
-    assert failed == ["a"]
+    assert pending == ["a"] and not failed
+
+
+def test_pending_lists_every_unattempted_step(tmp_path):
+    # outage before step 2: steps 2..N must all be reported, not just the
+    # first — the summary has to account for the whole plan
+    marks = tmp_path / "marks"
+    marks.mkdir()
+    (marks / "a.done").write_text("0s\n")
+    plan = {"steps": [{"name": "a", "cmd": "true"},
+                      {"name": "b", "cmd": "true"},
+                      {"name": "c", "cmd": "true"}],
+            "probe": "false", "probe_timeout": 5}
+    done, skipped, failed, pending = run_queue(plan, str(marks), 2, sleep_s=1)
+    assert skipped == ["a"] and pending == ["b", "c"] and not failed
+
+
+def test_timeout_kills_whole_process_group(tmp_path):
+    # the step is `sh -c "<compound>"`: killing only the shell would orphan
+    # the real workload (a second TPU process contending with the next step)
+    pidfile = tmp_path / "child.pid"
+    plan = _plan([{"name": "hang",
+                   "cmd": f"sleep 60 & echo $! > {pidfile}; wait",
+                   "timeout": 2}])
+    done, skipped, failed, pending = run_queue(plan, str(tmp_path / "marks"),
+                                               60)
+    assert failed == ["hang"]
+    child = int(pidfile.read_text().strip())
+    import time
+    for _ in range(20):  # give SIGKILL a moment to land
+        if not os.path.exists(f"/proc/{child}"):
+            break
+        time.sleep(0.1)
+    assert not os.path.exists(f"/proc/{child}"), "workload survived the kill"
 
 
 def test_cli_end_to_end(tmp_path):
@@ -95,5 +128,6 @@ def test_cli_end_to_end(tmp_path):
         capture_output=True, text=True, timeout=60)
     assert r.returncode == 0, r.stderr
     summary = json.loads(r.stdout.strip().splitlines()[-1])
-    assert summary == {"done": ["a"], "skipped": [], "failed": []}
+    assert summary == {"done": ["a"], "skipped": [], "failed": [],
+                       "pending": []}
     assert "hi" in (tmp_path / "marks" / "a.log").read_text()

@@ -211,18 +211,23 @@ def _learn_batch(seed, smpl, n2d, n3d, nimg, T, res):
     import jax.numpy as jnp
 
     rng = np.random.RandomState(seed)
-    tgt3 = _consistent_targets(rng, smpl, n3d, T)
-    tgt2 = _consistent_targets(rng, smpl, n2d, T)
-    vid = {
-        "images": jnp.asarray(rng.randn(n2d + n3d, T, res, res, 3).astype(np.float32)),
-        "target_2d": {"kp_2d": jnp.asarray(tgt2["kp_2d"])},
-        "target_3d": {
-            "kp_2d": jnp.asarray(tgt3["kp_2d"]),
-            "kp_3d": jnp.asarray(tgt3["kp_3d"]),
-            "theta": jnp.asarray(tgt3["theta"]),
-            "w_smpl": jnp.ones((n3d, T), np.float32),
-        },
-    }
+    if n2d + n3d == 0:
+        # stage-1 composition has no video half — mirror the timing path's
+        # `vid = None` convention (a zero-row dict means mean-of-empty NaNs)
+        vid = None
+    else:
+        tgt3 = _consistent_targets(rng, smpl, n3d, T)
+        tgt2 = _consistent_targets(rng, smpl, n2d, T)
+        vid = {
+            "images": jnp.asarray(rng.randn(n2d + n3d, T, res, res, 3).astype(np.float32)),
+            "target_2d": {"kp_2d": jnp.asarray(tgt2["kp_2d"])},
+            "target_3d": {
+                "kp_2d": jnp.asarray(tgt3["kp_2d"]),
+                "kp_3d": jnp.asarray(tgt3["kp_3d"]),
+                "theta": jnp.asarray(tgt3["theta"]),
+                "w_smpl": jnp.ones((n3d, T), np.float32),
+            },
+        }
     tgti = _consistent_targets(rng, smpl, nimg, 1)
     img = {
         "image": jnp.asarray(rng.randn(nimg, res, res, 3).astype(np.float32)),

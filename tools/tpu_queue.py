@@ -46,15 +46,35 @@ def _log(logf, msg):
             f.write(line + "\n")
 
 
+def _kill_group(proc):
+    """Kill the step's WHOLE process group. proc is `sh -c <cmd>`: killing
+    only the shell orphans the actual workload (e.g. a hung bench under a
+    compound `a || b` command), which would then contend with the next step —
+    exactly the two-TPU-processes-at-once failure this queue exists to
+    prevent."""
+    import signal
+
+    try:
+        os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+    except (ProcessLookupError, PermissionError):
+        proc.kill()
+    proc.wait()
+
+
 def backend_up(probe, probe_timeout, cwd):
     """Bounded probe with REAL device work: a half-dead relay still accepts
     connections (the local leg listens through an outage), so only completed
     work proves the remote leg is alive."""
+    proc = subprocess.Popen(["sh", "-c", probe], cwd=cwd,
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL,
+                            start_new_session=True)
     try:
-        r = subprocess.run(["sh", "-c", probe], timeout=probe_timeout,
-                           capture_output=True, cwd=cwd)
-        return r.returncode == 0
+        return proc.wait(timeout=probe_timeout) == 0
     except subprocess.TimeoutExpired:
+        # a dead tunnel HANGS backend init — reap the whole group, or one
+        # hung jax process piles up per probe cycle across a long outage
+        _kill_group(proc)
         return False
 
 
@@ -75,12 +95,17 @@ def wait_for_backend(probe, probe_timeout, budget_s, sleep_s, logf, cwd):
 
 
 def run_queue(plan, marks, budget_s, logf=None, cwd=None, sleep_s=600):
-    """Returns (completed, skipped, failed) step-name lists."""
+    """Returns (completed, skipped, failed, pending) step-name lists.
+
+    pending = steps never attempted because the backend outage outlasted
+    the budget — reported explicitly so the final summary always accounts
+    for every step in the plan."""
     os.makedirs(marks, exist_ok=True)
     probe = plan.get("probe", DEFAULT_PROBE)
     probe_timeout = plan.get("probe_timeout", 300)
-    done, skipped, failed = [], [], []
-    for step in plan["steps"]:
+    done, skipped, failed, pending = [], [], [], []
+    steps = list(plan["steps"])
+    for i, step in enumerate(steps):
         name, cmd = step["name"], step["cmd"]
         tmo = step.get("timeout")
         mark = os.path.join(marks, name + ".done")
@@ -90,20 +115,21 @@ def run_queue(plan, marks, budget_s, logf=None, cwd=None, sleep_s=600):
             continue
         if not wait_for_backend(probe, probe_timeout, budget_s, sleep_s,
                                 logf, cwd):
-            failed.append(name)
-            _log(logf, f"abort: backend never came up before {name}")
+            pending = [s["name"] for s in steps[i:]]
+            _log(logf, f"abort: backend never came up; never attempted: "
+                       f"{pending}")
             break
         _log(logf, f"start {name}: {cmd}")
         t0 = time.time()
         steplog = os.path.join(marks, name + ".log")
         with open(steplog, "w") as out:
             proc = subprocess.Popen(["sh", "-c", cmd], cwd=cwd, stdout=out,
-                                    stderr=subprocess.STDOUT)
+                                    stderr=subprocess.STDOUT,
+                                    start_new_session=True)
             try:
                 rc = proc.wait(timeout=tmo)
             except subprocess.TimeoutExpired:
-                proc.kill()
-                proc.wait()
+                _kill_group(proc)
                 rc = -9
         dt = time.time() - t0
         _log(logf, f"done {name}: rc={rc} in {dt:.0f}s (log: {steplog})")
@@ -113,7 +139,7 @@ def run_queue(plan, marks, budget_s, logf=None, cwd=None, sleep_s=600):
             done.append(name)
         else:
             failed.append(name)
-    return done, skipped, failed
+    return done, skipped, failed, pending
 
 
 def main():
@@ -130,11 +156,12 @@ def main():
     args = ap.parse_args()
     with open(args.plan) as f:
         plan = json.load(f)
-    done, skipped, failed = run_queue(
+    done, skipped, failed, pending = run_queue(
         plan, args.marks, args.budget_hours * 3600, logf=args.log or None,
         cwd=args.cwd, sleep_s=args.sleep)
-    print(json.dumps({"done": done, "skipped": skipped, "failed": failed}))
-    sys.exit(1 if failed else 0)
+    print(json.dumps({"done": done, "skipped": skipped, "failed": failed,
+                      "pending": pending}))
+    sys.exit(1 if failed or pending else 0)
 
 
 if __name__ == "__main__":
