@@ -15,7 +15,7 @@ import sys
 import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-from tpu_queue import run_queue  # noqa: E402
+from tpu_queue import QueueLockedError, run_queue  # noqa: E402
 
 
 def _plan(steps, probe="true"):
@@ -113,6 +113,69 @@ def test_timeout_kills_whole_process_group(tmp_path):
             break
         time.sleep(0.1)
     assert not os.path.exists(f"/proc/{child}"), "workload survived the kill"
+
+
+def test_second_instance_refused_while_holder_alive(tmp_path):
+    # the round-4 contamination mode: a second sequencer launched against the
+    # same marks dir while the first is mid-step -> both run TPU steps
+    # concurrently. The LOCK file must make the second one refuse.
+    marks = tmp_path / "marks"
+    marks.mkdir()
+    (marks / "LOCK").write_text(str(os.getpid()))  # a live holder (us)
+    plan = _plan([{"name": "a", "cmd": "true", "timeout": 30}])
+    with pytest.raises(QueueLockedError):
+        run_queue(plan, str(marks), 60)
+    assert (marks / "LOCK").read_text() == str(os.getpid())  # not stolen
+
+
+def test_stale_lock_is_stolen_and_released(tmp_path):
+    marks = tmp_path / "marks"
+    marks.mkdir()
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    (marks / "LOCK").write_text(str(dead.pid))
+    plan = _plan([{"name": "a", "cmd": "true", "timeout": 30}])
+    done, skipped, failed, pending = run_queue(plan, str(marks), 60)
+    assert done == ["a"]
+    assert not (marks / "LOCK").exists()  # released on completion
+
+
+def test_lock_released_even_when_a_step_fails(tmp_path):
+    marks = tmp_path / "marks"
+    plan = _plan([{"name": "bad", "cmd": "exit 3", "timeout": 30}])
+    run_queue(plan, str(marks), 60)
+    assert not (marks / "LOCK").exists()
+
+
+def test_marker_appearing_during_backend_wait_skips_step(tmp_path):
+    # a step completed elsewhere while this queue waited out an outage must
+    # not be re-run: the probe itself drops the marker, simulating the
+    # legacy runner finishing during the wait
+    marks = tmp_path / "marks"
+    marks.mkdir()
+    out = tmp_path / "touched"
+    plan = {"steps": [{"name": "a", "cmd": f"touch {out}", "timeout": 30}],
+            "probe": f"touch {marks}/a.done", "probe_timeout": 5}
+    done, skipped, failed, pending = run_queue(plan, str(marks), 60)
+    assert skipped == ["a"] and not done and not failed
+    assert not out.exists()
+
+
+def test_cli_refuses_when_locked(tmp_path):
+    marks = tmp_path / "marks"
+    marks.mkdir()
+    (marks / "LOCK").write_text(str(os.getpid()))
+    plan_file = tmp_path / "plan.json"
+    plan_file.write_text(json.dumps(_plan(
+        [{"name": "a", "cmd": "echo hi", "timeout": 30}])))
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "tools",
+                      "tpu_queue.py"),
+         str(plan_file), "--marks", str(marks), "--budget-hours", "0.01"],
+        capture_output=True, text=True, timeout=60)
+    assert r.returncode == 2
+    assert "REFUSED" in r.stderr
 
 
 def test_cli_end_to_end(tmp_path):

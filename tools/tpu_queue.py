@@ -23,6 +23,15 @@ Rules enforced: steps run strictly one at a time (two TPU processes contend
 every step (the tunnel can die mid-session); a failed step does NOT abort
 the queue (later steps may not need whatever broke); a step succeeds iff
 rc==0, which drops `<marks>/<name>.done` so relaunches are idempotent.
+
+Single-instance lock: `<marks>/LOCK` holds the running queue's pid. A second
+queue on the same marks dir refuses to start while the holder is alive and
+steals the lock if it is dead. Observed failure this prevents (round 4): a
+relaunched session started a second queue against the same marks dir while
+the first was mid-step — both sequencers ran TPU steps concurrently and
+every timing they produced was contaminated. Markers are also RE-checked
+after each backend wait, so a step completed elsewhere during a long outage
+is not re-run.
 """
 
 import argparse
@@ -59,6 +68,51 @@ def _kill_group(proc):
     except (ProcessLookupError, PermissionError):
         proc.kill()
     proc.wait()
+
+
+class QueueLockedError(RuntimeError):
+    """Another live queue instance owns this marks dir."""
+
+
+def _pid_alive(pid):
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+
+
+def _acquire_lock(marks, logf):
+    """Create <marks>/LOCK with our pid, or raise if a live holder exists.
+
+    Best-effort (pid files race in theory), but it deterministically stops
+    the observed failure mode: an operator or supervisor launching a second
+    queue against a marks dir whose first queue is still running."""
+    path = os.path.join(marks, "LOCK")
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(str(os.getpid()))
+            return path
+        except FileExistsError:
+            try:
+                with open(path) as f:
+                    holder = int(f.read().strip() or "0")
+            except (OSError, ValueError):
+                holder = 0
+            if holder and _pid_alive(holder):
+                raise QueueLockedError(
+                    f"queue already running on {marks} (pid {holder}); "
+                    "refusing to start a second sequencer — two TPU "
+                    "processes at once contaminate every measurement")
+            _log(logf, f"stale lock (pid {holder} dead) — stealing")
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
 
 
 def backend_up(probe, probe_timeout, cwd):
@@ -101,6 +155,17 @@ def run_queue(plan, marks, budget_s, logf=None, cwd=None, sleep_s=600):
     the budget — reported explicitly so the final summary always accounts
     for every step in the plan."""
     os.makedirs(marks, exist_ok=True)
+    lock = _acquire_lock(marks, logf)
+    try:
+        return _run_queue_locked(plan, marks, budget_s, logf, cwd, sleep_s)
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
+
+
+def _run_queue_locked(plan, marks, budget_s, logf, cwd, sleep_s):
     probe = plan.get("probe", DEFAULT_PROBE)
     probe_timeout = plan.get("probe_timeout", 300)
     done, skipped, failed, pending = [], [], [], []
@@ -119,6 +184,12 @@ def run_queue(plan, marks, budget_s, logf=None, cwd=None, sleep_s=600):
             _log(logf, f"abort: backend never came up; never attempted: "
                        f"{pending}")
             break
+        if os.path.exists(mark):
+            # completed elsewhere (pre-lock legacy runner / manual run)
+            # while we waited out the outage — don't run it twice
+            _log(logf, f"skip {name} (marker appeared during wait)")
+            skipped.append(name)
+            continue
         _log(logf, f"start {name}: {cmd}")
         t0 = time.time()
         steplog = os.path.join(marks, name + ".log")
@@ -156,9 +227,13 @@ def main():
     args = ap.parse_args()
     with open(args.plan) as f:
         plan = json.load(f)
-    done, skipped, failed, pending = run_queue(
-        plan, args.marks, args.budget_hours * 3600, logf=args.log or None,
-        cwd=args.cwd, sleep_s=args.sleep)
+    try:
+        done, skipped, failed, pending = run_queue(
+            plan, args.marks, args.budget_hours * 3600,
+            logf=args.log or None, cwd=args.cwd, sleep_s=args.sleep)
+    except QueueLockedError as e:
+        print(f"REFUSED: {e}", file=sys.stderr)
+        sys.exit(2)
     print(json.dumps({"done": done, "skipped": skipped, "failed": failed,
                       "pending": pending}))
     sys.exit(1 if failed or pending else 0)
