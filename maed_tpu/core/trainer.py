@@ -88,6 +88,17 @@ class Trainer:
             if self.valid_loader is not None else None)
         self._allow_missing_regressor = allow_missing_regressor
 
+        # preemption-safe training: SIGTERM (pod maintenance/preemption)
+        # finishes the in-flight step, writes an exact mid-epoch checkpoint
+        # (params/opt/rng + per-loader (epoch, position)), and exits cleanly;
+        # TRAIN.RESUME on that checkpoint continues bit-exactly (the loaders'
+        # batch content is a pure function of (epoch, batch index)).
+        self._preempt_requested = False
+        self.preempted = False
+        self._resume_iter = 0
+        self._resume_loader_state = None
+        self._epoch_iters_done = 0
+
         self.start_epoch = cfg.TRAIN.START_EPOCH
         self.end_epoch = cfg.TRAIN.END_EPOCH
         self.save_freq = cfg.SAVE_FREQ
@@ -156,8 +167,20 @@ class Trainer:
         return vid_batch, img_batch
 
     # ------------------------------------------------------------------ #
-    def train_epoch(self, log_freq: int = 10):
-        """One epoch. Steps dispatch asynchronously: metrics stay on device
+    def request_preempt(self, signum=None, frame=None):
+        """Signal-handler-compatible graceful-stop hook: the current step
+        finishes, then fit() writes the `preempt` checkpoint and returns
+        with self.preempted set (train.py exits 0 so supervisors relaunch
+        with TRAIN.RESUME)."""
+        self._preempt_requested = True
+        if self.rank == 0 and not self.preempted:
+            msg = "preemption requested — will checkpoint and stop"
+            (self.logger.info if self.logger else print)(msg)
+
+    # ------------------------------------------------------------------ #
+    def train_epoch(self, log_freq: int = 10, start_iter: int = 0):
+        """One epoch (or its tail, from start_iter after a mid-epoch
+        resume). Steps dispatch asynchronously: metrics stay on device
         and the host only blocks every `log_freq` steps (one sync per log
         window instead of per step), so data loading for step i+1 overlaps
         step i's device compute."""
@@ -166,7 +189,14 @@ class Trainer:
         from maed_tpu.utils.profiling import maybe_trace
 
         pending = []
-        for i in range(self.num_iters):
+        self._epoch_iters_done = self.num_iters
+        for i in range(start_iter, self.num_iters):
+            if self._preempt_requested:
+                # before pulling batches: the loaders' (epoch, pos) counters
+                # equal the number of consumed batches, so the emergency
+                # checkpoint records an exactly-resumable position
+                self._epoch_iters_done = i
+                break
             timer.start()
             vid_batch, img_batch = self._device_batches(i)
             vid_batch = self._shard(vid_batch)
@@ -231,14 +261,39 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
     def fit(self):
+        import signal
+        import threading
+
+        old_handler = None
+        if threading.current_thread() is threading.main_thread():
+            # SIGTERM = preemption notice on pods/managed VMs: stop after
+            # the in-flight step with an exact mid-epoch checkpoint instead
+            # of dying mid-write. Installed only around fit(), restored
+            # after (a library must not permanently own process signals).
+            old_handler = signal.signal(signal.SIGTERM, self.request_preempt)
         try:
             for epoch in range(self.start_epoch, self.end_epoch):
                 self.epoch = epoch
                 for ld in (self.train_2d, self.train_3d, self.train_img):
                     if ld:
                         ld.set_epoch(epoch)
+                start_iter = 0
+                if self._resume_loader_state is not None and epoch == self.start_epoch:
+                    # mid-epoch resume: reposition every loader exactly
+                    # where the preempt checkpoint caught it
+                    for name, ld in self._named_loaders().items():
+                        if name in self._resume_loader_state:
+                            ld.restore(self._resume_loader_state[name])
+                    start_iter = self._resume_iter
+                    self._resume_loader_state = None
+                    self._resume_iter = 0
                 t0 = time.time()
-                train_metrics = self.train_epoch()
+                train_metrics = self.train_epoch(start_iter=start_iter)
+                if self._preempt_requested:
+                    if self.rank == 0 and self.logdir:
+                        self._save_preempt()
+                    self.preempted = True
+                    break
                 if self.logger and self.rank == 0:
                     self.logger.info(
                         f"Epoch {epoch + 1} done in {time.time() - t0:.1f}s: {train_metrics}"
@@ -253,23 +308,58 @@ class Trainer:
             # never unwind (exception, KeyboardInterrupt) with a checkpoint
             # write still in flight; re-raises a failed background write
             wait_pending_saves()
+            if old_handler is not None:
+                signal.signal(signal.SIGTERM, old_handler)
 
     # ------------------------------------------------------------------ #
-    def save(self, performance: float, epoch: int):
-        is_best = performance < self.best_performance
-        if is_best:
-            self.best_performance = performance
+    def _named_loaders(self) -> Dict:
+        return {
+            name: ld for name, ld in (
+                ("train_2d", self.train_2d), ("train_3d", self.train_3d),
+                ("train_img", self.train_img),
+            ) if ld is not None
+        }
+
+    def _state_np(self, epoch: int, performance: float) -> Dict:
         from flax import serialization
 
-        state_np = {
+        return {
             "params": self.state.params,
             # optax states are nested namedtuples; store as a plain state dict
             "opt_state": serialization.to_state_dict(self.state.opt_state),
             "batch_stats": self.state.batch_stats,
             "step": self.state.step,
+            # the per-step dropout/droppath key chain: without it a resumed
+            # run re-draws from the init key and diverges from the
+            # uninterrupted run even with identical data
+            "rng": np.asarray(self.state.rng),
             "epoch": np.asarray(epoch),
             "performance": np.asarray(performance),
         }
+
+    def _save_preempt(self):
+        """Exact mid-epoch checkpoint: model/optimizer state plus the
+        number of completed iterations this epoch and every loader's
+        (epoch, iter_epoch, pos). Written SYNCHRONOUSLY — the process is
+        about to exit on a preemption deadline; an async write would race
+        interpreter teardown."""
+        state_np = self._state_np(self.epoch, self.best_performance)
+        state_np["epoch_iter"] = np.asarray(self._epoch_iters_done)
+        state_np["loader_state"] = {
+            name: {k: np.asarray(v) for k, v in ld.state().items()}
+            for name, ld in self._named_loaders().items()
+        }
+        path = save_checkpoint(self.logdir, state_np, is_best=False,
+                               name="preempt", async_write=False)
+        msg = (f"preempt checkpoint written: {path} (epoch {self.epoch}, "
+               f"{self._epoch_iters_done}/{self.num_iters} iters)")
+        (self.logger.info if self.logger else print)(msg)
+
+    def save(self, performance: float, epoch: int):
+        is_best = performance < self.best_performance
+        if is_best:
+            self.best_performance = performance
+        state_np = self._state_np(epoch, performance)
         best_perf = self.best_performance
 
         def after_write():
@@ -320,17 +410,40 @@ class Trainer:
 
             shardings = param_shardings(params, self.mesh)
             params = jax.tree.map(jax.device_put, params, shardings)
+        rng = self.state.rng
+        if ckpt.get("rng") is not None:
+            # restore the per-step dropout key chain (older checkpoints
+            # predate the key; they keep the fresh init key)
+            import jax.numpy as jnp
+
+            rng = jnp.asarray(np.asarray(ckpt["rng"]))
         self.state = TrainState(
             params=params,
             opt_state=opt_state,
             batch_stats=ckpt.get("batch_stats", {}),
             step=np.asarray(ckpt.get("step", 0)),
-            rng=self.state.rng,
+            rng=rng,
         )
         # keep the TensorBoard x-axis continuous across the restart
         self.train_global_step = int(np.asarray(ckpt.get("step", 0)))
-        self.start_epoch = int(ckpt.get("epoch", -1)) + 1
         self.best_performance = float(ckpt.get("performance", float("inf")))
+        if ckpt.get("epoch_iter") is not None:
+            # preempt checkpoint: continue INSIDE the recorded epoch, at the
+            # recorded iteration, with every loader repositioned exactly
+            self.start_epoch = int(np.asarray(ckpt["epoch"]))
+            self._resume_iter = int(np.asarray(ckpt["epoch_iter"]))
+            self._resume_loader_state = {
+                name: {k: int(np.asarray(v)) for k, v in st.items()}
+                for name, st in (ckpt.get("loader_state") or {}).items()
+            }
+            if self.logger and self.rank == 0:
+                self.logger.info(
+                    f"=> resumed mid-epoch from {path} (epoch "
+                    f"{self.start_epoch}, iter {self._resume_iter}, "
+                    f"best {self.best_performance:.2f})"
+                )
+            return
+        self.start_epoch = int(ckpt.get("epoch", -1)) + 1
         if self.logger and self.rank == 0:
             self.logger.info(
                 f"=> resumed from {path} (epoch {self.start_epoch}, "

@@ -66,17 +66,22 @@ def _default_start_method() -> str:
         return "forkserver"  # can't tell -> assume fork-hostile
 
 
-def _worker_main(loader, idxs, out_q, consumed, worker_id, nb, nw, window):
+def _worker_main(loader, idxs, out_q, consumed, worker_id, nb, nw, window,
+                 epoch, start):
     """Loader worker body (module-level so spawn/forkserver contexts can
     pickle it). Produces batches b = worker_id, worker_id+nw, ... pausing
-    whenever it runs more than `window` batches ahead of the consumer."""
+    whenever it runs more than `window` batches ahead of the consumer.
+    epoch/start arrive as explicit arguments (not read off the pickled
+    loader) so every path binds them identically at iteration start."""
     import time as _time
 
     try:
         for b in range(worker_id, nb, nw):
+            if b < start:
+                continue
             while b - consumed.value > window:
                 _time.sleep(0.005)
-            batch = loader._make_batch(idxs, b)
+            batch = loader._make_batch(idxs, b, epoch)
             if batch is None:
                 break
             out_q.put((b, batch))
@@ -120,10 +125,12 @@ class ShardedLoader:
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
-    def _shard_indices(self):
+    def _shard_indices(self, epoch: Optional[int] = None):
         n = len(self.dataset)
+        if epoch is None:
+            epoch = self.epoch
         if self.shuffle:
-            g = np.random.RandomState(self.seed + self.epoch)
+            g = np.random.RandomState(self.seed + epoch)
             order = g.permutation(n)
         else:
             order = np.arange(n)
@@ -139,7 +146,9 @@ class ShardedLoader:
             return per_shard // self.batch_size
         return int(np.ceil(per_shard / self.batch_size))
 
-    def _make_batch(self, idxs, b):
+    def _make_batch(self, idxs, b, epoch: Optional[int] = None):
+        if epoch is None:
+            epoch = self.epoch
         chunk = idxs[b * self.batch_size:(b + 1) * self.batch_size]
         if len(chunk) < self.batch_size and self.drop_last:
             return None
@@ -148,20 +157,21 @@ class ShardedLoader:
             # per-(epoch, index) rng: augmentation draws are deterministic
             # and identical no matter which worker fetches the sample
             rng = np.random.RandomState(
-                (self.seed + self.epoch * 1_000_003 + int(i)) % (2 ** 31 - 1)
+                (self.seed + epoch * 1_000_003 + int(i)) % (2 ** 31 - 1)
             )
             samples.append(self.dataset.__getitem__(int(i), rng=rng))
         return collate(samples)
 
-    def _batches(self):
-        idxs = self._shard_indices()
-        for b in range(len(self)):
-            batch = self._make_batch(idxs, b)
+    def _batches(self, epoch: int, start: int = 0):
+        idxs = self._shard_indices(epoch)
+        for b in range(start, len(self)):
+            batch = self._make_batch(idxs, b, epoch)
             if batch is None:
                 return
             yield batch
 
-    def _iter_workers(self, stall_timeout: float = 600.0):
+    def _iter_workers(self, epoch: int, start: int = 0,
+                      stall_timeout: float = 600.0):
         """Multi-process fetch: worker w produces batches b with
         b % num_workers == w (torch DataLoader's round-robin assignment,
         /root/reference/lib/dataset/loaders.py:61-133 via NUM_WORKERS);
@@ -184,14 +194,15 @@ class ShardedLoader:
         nb = len(self)
         nw = min(self.num_workers, max(nb, 1))
         out_q = ctx.Queue(maxsize=max(2 * nw, 4))
-        consumed = ctx.Value("l", 0)  # next_b, visible to workers
-        idxs = self._shard_indices()
+        consumed = ctx.Value("l", start)  # next_b, visible to workers
+        idxs = self._shard_indices(epoch)
         window = 2 * nw
 
         procs = [
             ctx.Process(
                 target=_worker_main,
-                args=(self, idxs, out_q, consumed, w, nb, nw, window),
+                args=(self, idxs, out_q, consumed, w, nb, nw, window,
+                      epoch, start),
                 daemon=True,
             )
             for w in range(nw)
@@ -201,7 +212,7 @@ class ShardedLoader:
         try:
             pending = {}
             done_workers = 0
-            next_b = 0
+            next_b = start
             last_progress = _time.monotonic()
             while done_workers < nw or pending:
                 if next_b in pending:
@@ -243,19 +254,36 @@ class ShardedLoader:
                 p.join(timeout=5)
 
     def __iter__(self):
+        return self.iter_from(self.epoch)
+
+    def iter_from(self, epoch: int, start: int = 0):
+        """Iterate this epoch's batch sequence starting at batch `start`.
+
+        Batch content is a pure function of (epoch, batch index): the
+        permutation comes from seed+epoch and each sample's augmentation RNG
+        from (seed, epoch, dataset index) — so iter_from(e, k) reproduces the
+        tail of an uninterrupted epoch-e iteration bit-exactly. This is the
+        preemption-resume primitive (trainer emergency checkpoints record
+        (epoch, position); resume skips the already-trained prefix without
+        re-decoding it) and also pins (epoch, start) EAGERLY: previously the
+        thread-prefetch path read self.epoch per batch while worker
+        processes snapshotted it at fork, so a mid-iteration set_epoch
+        changed augmentation draws on one path and not the other."""
+        epoch, start = int(epoch), int(start)
         if self.num_workers > 0:
-            yield from self._iter_workers()
-            return
+            return self._iter_workers(epoch, start)
         if self.prefetch <= 0:
-            yield from self._batches()
-            return
+            return self._batches(epoch, start)
+        return self._prefetch_thread(epoch, start)
+
+    def _prefetch_thread(self, epoch: int, start: int):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         err = []
 
         def worker():
             try:
-                for batch in self._batches():
+                for batch in self._batches(epoch, start):
                     q.put(batch)
             except BaseException as e:  # surface loader errors in the consumer
                 err.append(e)
@@ -287,23 +315,70 @@ class InfiniteLoader:
 
     def __init__(self, loader: ShardedLoader):
         self.loader = loader
-        self._it = iter(loader)
         self.epoch = 0
+        self.iter_epoch = 0  # epoch the LIVE iterator was seeded with (may
+        #                      trail self.epoch when set_epoch lands mid-wrap)
+        self.pos = 0         # batches consumed from the live iterator
+        self._it = self._new_iter()
+
+    def _new_iter(self, start: int = 0):
+        self.iter_epoch = self.epoch
+        self.pos = start
+        self.loader.set_epoch(self.epoch)
+        if hasattr(self.loader, "iter_from"):
+            return self.loader.iter_from(self.epoch, start)
+        if start:
+            raise ValueError(
+                f"loader {type(self.loader).__name__} has no iter_from; "
+                "mid-epoch restore needs a ShardedLoader")
+        return iter(self.loader)
 
     def set_epoch(self, epoch: int):
         """Trainer hook: advance the shuffle epoch (never backwards, so a
-        loader that wrapped ahead mid-epoch keeps fresh permutations)."""
-        self.epoch = max(int(epoch), self.epoch)
+        loader that wrapped ahead mid-epoch keeps fresh permutations). If the
+        live iterator is still unconsumed (fresh construction, epoch-level
+        resume), it is re-seeded at the new epoch; once consumption started,
+        the in-flight permutation keeps its original seed until it wraps
+        (iter_from binds (epoch, start) eagerly on every path — previously
+        the thread path re-read the epoch per batch while process workers
+        snapshotted it, so the same mid-iteration set_epoch produced
+        different augmentation draws depending on NUM_WORKERS)."""
+        new = max(int(epoch), self.epoch)
+        if new != self.epoch:
+            self.epoch = new
+            if self.pos == 0:
+                self._it = self._new_iter()
         self.loader.set_epoch(self.epoch)
+
+    def state(self) -> dict:
+        """Exact position for preemption checkpoints (see restore)."""
+        return {"epoch": self.epoch, "iter_epoch": self.iter_epoch,
+                "pos": self.pos}
+
+    def restore(self, st: dict):
+        """Reposition exactly where state() was captured: the live iterator
+        is rebuilt at (iter_epoch, pos) — batch content is a pure function
+        of those two (ShardedLoader.iter_from) — and the monotone shuffle
+        counter resumes at the recorded epoch."""
+        self.epoch = int(st["epoch"])
+        self.iter_epoch = int(st["iter_epoch"])
+        self.pos = int(st["pos"])
+        if not hasattr(self.loader, "iter_from"):
+            raise ValueError(
+                f"loader {type(self.loader).__name__} has no iter_from; "
+                "mid-epoch restore needs a ShardedLoader")
+        self.loader.set_epoch(self.epoch)
+        self._it = self.loader.iter_from(self.iter_epoch, self.pos)
 
     def __next__(self):
         try:
-            return next(self._it)
+            batch = next(self._it)
         except StopIteration:
             self.epoch += 1
-            self.loader.set_epoch(self.epoch)
-            self._it = iter(self.loader)
-            return next(self._it)
+            self._it = self._new_iter()
+            batch = next(self._it)
+        self.pos += 1
+        return batch
 
 
 def get_data_loaders(

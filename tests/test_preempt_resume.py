@@ -1,0 +1,307 @@
+"""Preemption-safe training: SIGTERM -> exact mid-epoch checkpoint -> resume.
+
+On pods/managed VMs a maintenance event delivers SIGTERM; the reference
+trainer (epoch-granular torch.save) loses the whole partial epoch. Here the
+trainer records (params, opt_state, rng, epoch, iteration, per-loader
+position) and resumes BIT-exactly: batch content is a pure function of
+(epoch, batch index) — epoch-seeded permutation + per-(epoch, dataset-index)
+augmentation RNG (data/loaders.py) — and the dropout key chain is part of
+the checkpoint, so interrupted-and-resumed equals uninterrupted.
+"""
+
+import os
+import os.path as osp
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import joblib
+import pytest
+
+from maed_tpu.core.config import get_cfg_defaults
+from maed_tpu.core.loss import LossWeights
+from maed_tpu.core.trainer import Trainer
+from maed_tpu.data.loaders import InfiniteLoader, ShardedLoader, get_data_loaders
+from maed_tpu.models import MAED
+from maed_tpu.parallel.train_step import (
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+from maed_tpu.utils.smpl_io import synthetic_smpl_model
+from fixtures import cli_subprocess_env, make_image_db, make_video_db
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
+# --------------------------------------------------------------------------- #
+# Loader repositioning primitives
+# --------------------------------------------------------------------------- #
+
+class _ArrayDataset:
+    def __init__(self, n=20, seed=0):
+        self.vals = np.random.RandomState(seed).randn(n, 3).astype(np.float32)
+
+    def __len__(self):
+        return len(self.vals)
+
+    def __getitem__(self, i, rng=None):
+        # augmentation stand-in: the per-(epoch, index) rng must reproduce
+        return {"x": self.vals[i] + rng.randn(3).astype(np.float32)}
+
+
+@pytest.mark.parametrize("prefetch", [0, 2])
+def test_iter_from_reproduces_tail(prefetch):
+    ld = ShardedLoader(_ArrayDataset(), batch_size=3, shuffle=True, seed=7,
+                       prefetch=prefetch)
+    ld.set_epoch(4)
+    full = [b["x"].copy() for b in ld]
+    for start in (0, 2, len(full)):
+        tail = [b["x"].copy() for b in ld.iter_from(4, start)]
+        assert len(tail) == len(full) - start
+        for a, b in zip(full[start:], tail):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_iter_from_reproduces_tail_with_workers():
+    ld = ShardedLoader(_ArrayDataset(), batch_size=3, shuffle=True, seed=7,
+                       num_workers=2)
+    ld.set_epoch(2)
+    full = [b["x"].copy() for b in ld]
+    tail = [b["x"].copy() for b in ld.iter_from(2, 3)]
+    for a, b in zip(full[3:], tail):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_infinite_loader_state_restore_across_wrap():
+    def make():
+        return InfiniteLoader(ShardedLoader(_ArrayDataset(), batch_size=3,
+                                            shuffle=True, seed=1))
+
+    ref = make()
+    ref.set_epoch(3)
+    consumed = [next(ref)["x"].copy() for _ in range(9)]  # len=6: wraps once
+    st = ref.state()
+    assert st["pos"] == 3 and st["iter_epoch"] == 4  # 9 batches = 6 + 3
+    after = [next(ref)["x"].copy() for _ in range(5)]  # wraps again
+
+    res = make()
+    res.restore(st)
+    got = [next(res)["x"].copy() for _ in range(5)]
+    for a, b in zip(after, got):
+        np.testing.assert_array_equal(a, b)
+    assert res.state() == ref.state()
+    del consumed
+
+
+# --------------------------------------------------------------------------- #
+# Trainer-level exactness: interrupted+resumed == uninterrupted, bitwise
+# --------------------------------------------------------------------------- #
+
+def _tiny_cfg():
+    cfg = get_cfg_defaults()
+    cfg.DATASET.WIDTH = cfg.DATASET.HEIGHT = 32
+    cfg.DATASET.SEQLEN = 2
+    cfg.DATASET.SAMPLE_POOL = 4
+    cfg.DATASET.RANDOM_SAMPLE = True
+    cfg.DATASET.RANDOM_START = False
+    cfg.TRAIN.DATASETS_2D = ["syn2d"]
+    cfg.TRAIN.DATASETS_3D = ["syn3d"]
+    cfg.TRAIN.DATASETS_IMG = ["synimg"]
+    cfg.TRAIN.DATASET_EVAL = "syn3d"
+    cfg.TRAIN.BATCH_SIZE_2D = 1
+    cfg.TRAIN.BATCH_SIZE_3D = 1
+    cfg.TRAIN.BATCH_SIZE_IMG = 2
+    cfg.TRAIN.END_EPOCH = 2
+    cfg.TRAIN.NUM_ITERS_PER_EPOCH = 3
+    cfg.SAVE_FREQ = 99  # no validation IO in this test
+    cfg.EVAL.SEQLEN = 2
+    cfg.EVAL.SAMPLE_POOL = 4
+    cfg.EVAL.BATCH_SIZE = 2
+    return cfg
+
+
+def test_preempt_resume_is_bit_exact(tmp_path):
+    cfg = _tiny_cfg()
+    db_vid = make_video_db(tmp_path, n_videos=2, frames_per_video=12,
+                           img_size=48)
+    db_img = make_image_db(tmp_path, n_images=8, img_size=48)
+    db_val = make_video_db(tmp_path, n_videos=1, frames_per_video=8,
+                           img_size=48, seed=3)
+    overrides = {"syn2d": db_vid, "syn3d": db_vid, "synimg": db_img,
+                 "syn3d_val": db_val}
+
+    # dropout + droppath ON so the per-step rng chain matters: without the
+    # checkpointed key, the resumed run's dropout masks diverge
+    model = MAED(encoder="ste", num_blocks=1, num_heads=2, st_mode="parallel",
+                 decoder="ktd", hidden_dim=32, drop_rate=0.1,
+                 drop_path_rate=0.2)
+    smpl = synthetic_smpl_model(num_verts=64)
+    tx = make_optimizer(cfg.TRAIN.OPTIM, steps_per_epoch=3)
+    sample = jnp.zeros((2, 2, 32, 32, 3), jnp.float32)
+    step = make_train_step(model, tx, smpl, LossWeights(), donate=False)
+
+    def fresh_state():
+        return init_train_state(model, tx, sample, smpl, jax.random.PRNGKey(0))
+
+    def trainer_for(cfg_, state_, train_step_, logdir=""):
+        loaders = get_data_loaders(cfg_, db_overrides=overrides, verbose=False)
+        return Trainer(
+            data_loaders=loaders, train_step=train_step_, state=state_,
+            model=model, smpl_model=smpl, cfg=cfg_, logdir=logdir,
+            num_iters_per_epoch=3,
+        )
+
+    # --- A: uninterrupted 2 epochs x 3 iters --------------------------- #
+    trainer_a = trainer_for(cfg, fresh_state(), step)
+    trainer_a.fit()
+    params_a = jax.tree.map(np.asarray, trainer_a.state.params)
+    assert int(trainer_a.state.step) == 6
+
+    # --- B: same run, preempted after 4 steps (epoch 1, iter 1) -------- #
+    logdir = str(tmp_path / "run")
+    os.makedirs(logdir, exist_ok=True)
+    calls = [0]
+    holder = {}
+
+    def preempting_step(state, vb, ib):
+        out = step(state, vb, ib)
+        calls[0] += 1
+        if calls[0] == 4:
+            holder["t"].request_preempt()  # what the SIGTERM handler does
+        return out
+
+    trainer_b = trainer_for(cfg, fresh_state(), preempting_step, logdir)
+    holder["t"] = trainer_b
+    trainer_b.fit()
+    assert trainer_b.preempted
+    assert int(trainer_b.state.step) == 4
+    assert osp.isdir(osp.join(logdir, "preempt"))
+
+    # --- C: fresh process-equivalent, resumed from the preempt ckpt ---- #
+    cfg_c = cfg.clone()
+    cfg_c.TRAIN.RESUME = osp.join(logdir, "preempt")
+    # DIFFERENT init key: everything that matters must come from the ckpt
+    state_c = init_train_state(model, tx, sample, smpl, jax.random.PRNGKey(9))
+    trainer_c = trainer_for(cfg_c, state_c, step)
+    assert trainer_c.start_epoch == 1 and trainer_c._resume_iter == 1
+    trainer_c.fit()
+    assert int(trainer_c.state.step) == 6
+
+    params_c = jax.tree.map(np.asarray, trainer_c.state.params)
+    mism = [np.abs(a - b).max() for a, b in
+            zip(jax.tree.leaves(params_a), jax.tree.leaves(params_c))]
+    assert max(mism) == 0.0, f"resumed run diverged: max {max(mism)}"
+
+
+# --------------------------------------------------------------------------- #
+# CLI end-to-end: real SIGTERM to a real train.py, then a real resume
+# --------------------------------------------------------------------------- #
+
+def _write_dbs(root):
+    dbdir = osp.join(root, "data", "database")
+    os.makedirs(dbdir)
+    vid = make_video_db(root, n_videos=2, frames_per_video=10, img_size=48)
+    img = make_image_db(root, n_images=6, img_size=48)
+    val = make_video_db(root, n_videos=1, frames_per_video=8, img_size=48,
+                        seed=3)
+    joblib.dump(vid, osp.join(dbdir, "syn2d_train_db.pt"))
+    joblib.dump(vid, osp.join(dbdir, "syn3d_train_db.pt"))
+    joblib.dump(img, osp.join(dbdir, "synimg_train_db.pt"))
+    joblib.dump(val, osp.join(dbdir, "syn3d_val_db.pt"))
+
+
+def _write_cfg(root, num_iters, resume=""):
+    cfg = get_cfg_defaults()
+    cfg.NUM_WORKERS = 0
+    cfg.SEED_VALUE = 0
+    cfg.SAVE_FREQ = 1
+    cfg.DATASET.WIDTH = cfg.DATASET.HEIGHT = 32
+    cfg.DATASET.SEQLEN = 2
+    cfg.DATASET.SAMPLE_POOL = 4
+    cfg.DATASET.RANDOM_SAMPLE = True
+    cfg.DATASET.RANDOM_START = False
+    cfg.TRAIN.DATASETS_2D = ["syn2d"]
+    cfg.TRAIN.DATASETS_3D = ["syn3d"]
+    cfg.TRAIN.DATASETS_IMG = ["synimg"]
+    cfg.TRAIN.DATASET_EVAL = "syn3d"
+    cfg.TRAIN.BATCH_SIZE_2D = 1
+    cfg.TRAIN.BATCH_SIZE_3D = 1
+    cfg.TRAIN.BATCH_SIZE_IMG = 2
+    cfg.TRAIN.END_EPOCH = 1
+    cfg.TRAIN.NUM_ITERS_PER_EPOCH = num_iters
+    cfg.TRAIN.RESUME = resume
+    cfg.MODEL.ENCODER.NUM_BLOCKS = 1
+    cfg.MODEL.ENCODER.NUM_HEADS = 2
+    cfg.MODEL.DECODER.HIDDEN_DIM = 32
+    cfg.EVAL.SEQLEN = 2
+    cfg.EVAL.SAMPLE_POOL = 4
+    cfg.EVAL.BATCH_SIZE = 2
+    name = "resume.yaml" if resume else "tiny.yaml"
+    path = osp.join(root, name)
+    with open(path, "w") as f:
+        f.write(cfg.dump())
+    return path
+
+
+def test_sigterm_checkpoints_and_resumes_cli(tmp_path):
+    root = str(tmp_path)
+    _write_dbs(root)
+    cfg_path = _write_cfg(root, num_iters=400)
+    env = cli_subprocess_env()
+
+    proc = subprocess.Popen(
+        [sys.executable, osp.join(REPO, "train.py"), "--cfg", cfg_path,
+         "--allow_synthetic_smpl"],
+        cwd=root, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True,
+    )
+    # wait until training is demonstrably past compile (a [Train] log line),
+    # then deliver the preemption signal
+    deadline = time.time() + 900
+    logfile = None
+    try:
+        while time.time() < deadline:
+            if logfile is None:
+                runs = (os.listdir(osp.join(root, "results"))
+                        if osp.isdir(osp.join(root, "results")) else [])
+                if runs:
+                    cand = osp.join(root, "results", runs[0], "train_log.txt")
+                    logfile = cand if osp.isfile(cand) else None
+            if logfile and "[Train]" in open(logfile).read():
+                break
+            if proc.poll() is not None:
+                out = proc.stdout.read()
+                pytest.fail(f"train.py exited before signal: {out[-3000:]}")
+            time.sleep(1)
+        else:
+            pytest.fail("no [Train] log line within budget")
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=600)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate()
+
+    assert proc.returncode == 0, f"SIGTERM exit was not clean:\n{out[-3000:]}"
+    logdir = osp.dirname(logfile)
+    assert osp.isdir(osp.join(logdir, "preempt")), os.listdir(logdir)
+    assert "preempt" in out
+
+    # resume run: finishes the interrupted epoch's tail (+ validation)
+    cfg2 = _write_cfg(root, num_iters=400,
+                      resume=osp.join(logdir, "preempt"))
+    r = subprocess.run(
+        [sys.executable, osp.join(REPO, "train.py"), "--cfg", cfg2,
+         "--allow_synthetic_smpl"],
+        cwd=root, env=env, capture_output=True, text=True, timeout=1800,
+    )
+    assert r.returncode == 0, f"resume failed:\n{r.stdout[-3000:]}\n{r.stderr[-3000:]}"
+    runs = sorted(os.listdir(osp.join(root, "results")))
+    assert len(runs) == 2
+    log2 = open(osp.join(root, "results", runs[-1], "train_log.txt")).read()
+    assert "resumed mid-epoch" in log2

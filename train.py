@@ -143,6 +143,13 @@ def main():
         allow_missing_regressor=args.allow_synthetic_smpl,
     )
     trainer.fit()
+    if trainer.preempted and rank == 0:
+        # graceful preemption stop: the exact mid-epoch state is on disk;
+        # a supervisor relaunch with TRAIN.RESUME=<logdir>/preempt continues
+        # bit-exactly where this run stopped
+        (logger.info if logger else print)(
+            f"preempted — resume with TRAIN.RESUME={logdir}/preempt"
+        )
 
 
 if __name__ == "__main__":
