@@ -195,6 +195,12 @@ def parse_args(argv=None):
         help="permit running without the real SMPL body model files "
              "(metrics computed against a RANDOM body are meaningless; "
              "only useful for smoke tests)")
+    parser.add_argument(
+        "opts", nargs="*", default=[],
+        help="yacs-style KEY VALUE config overrides applied after --cfg, "
+             "e.g. `TRAIN.RESUME results/run/preempt TRAIN.END_EPOCH 60` "
+             "(beyond the reference CLI: lets a supervisor relaunch one "
+             "fixed command after preemption instead of editing yaml)")
     args = parser.parse_args(argv)
 
     if args.cfg is not None:
@@ -207,4 +213,9 @@ def parse_args(argv=None):
         cfg = update_cfg(args.cfg)
     else:
         cfg = get_cfg_defaults()
+    if args.opts:
+        try:
+            cfg.merge_from_list(args.opts)
+        except (KeyError, AssertionError) as e:
+            parser.error(f"bad KEY VALUE overrides: {e}")
     return args, cfg, args.cfg

@@ -116,7 +116,21 @@ class Trainer:
             self.num_iters = max(lens) if lens else len(self.train_img.loader)
 
         if cfg.TRAIN.RESUME:
-            self.resume(cfg.TRAIN.RESUME)
+            target = cfg.TRAIN.RESUME
+            if target == "auto":
+                # supervisor-friendly: relaunch the SAME command after a
+                # preemption/crash; the newest preempt or epoch_N checkpoint
+                # under OUTPUT_DIR wins, '' means fresh start
+                from maed_tpu.utils.checkpoint import find_auto_resume
+
+                target = find_auto_resume(cfg.OUTPUT_DIR)
+                if self.rank == 0:
+                    msg = (f"TRAIN.RESUME=auto -> {target}" if target
+                           else "TRAIN.RESUME=auto: no checkpoint found, "
+                                "starting fresh")
+                    (self.logger.info if self.logger else print)(msg)
+            if target:
+                self.resume(target)
 
     # ------------------------------------------------------------------ #
     def _shard(self, batch):

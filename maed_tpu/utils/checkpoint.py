@@ -168,6 +168,35 @@ def resume_state(path: str) -> Dict[str, Any]:
     return load_checkpoint(path)
 
 
+def find_auto_resume(output_dir: str) -> str:
+    """Resolve TRAIN.RESUME='auto': the newest resumable checkpoint under any
+    run dir in `output_dir`, or '' if none exists (fresh start).
+
+    Candidates are `<run>/preempt` (graceful SIGTERM stop, mid-epoch) and
+    `<run>/epoch_*` (end-of-epoch saves — what a hard crash leaves behind);
+    newest by mtime wins, so a supervisor can relaunch the SAME command
+    (`train.py --cfg x.yaml TRAIN.RESUME auto`) after both preemptions and
+    crashes. In-flight orbax tmp dirs and `model_best` (a duplicate of some
+    epoch_N, possibly older than the latest) are excluded.
+    """
+    candidates = []
+    if not osp.isdir(output_dir):
+        return ""
+    for run in os.listdir(output_dir):
+        rdir = osp.join(output_dir, run)
+        if not osp.isdir(rdir):
+            continue
+        for name in os.listdir(rdir):
+            if name != "preempt" and not (
+                name.startswith("epoch_") and not name.endswith("-tmp")
+            ):
+                continue
+            path = osp.join(rdir, name)
+            if osp.isdir(path):
+                candidates.append((os.path.getmtime(path), path))
+    return max(candidates)[1] if candidates else ""
+
+
 def fold_weight_standardization(params: dict, eps: float = 1e-5) -> dict:
     """Pre-standardize StdConv kernels for inference.
 

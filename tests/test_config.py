@@ -88,6 +88,21 @@ def test_parse_args_defaults():
     assert cfg.DATASET.WIDTH == 224
 
 
+def test_parse_args_opts_overrides():
+    # yacs-style trailing KEY VALUE pairs: a supervisor relaunches ONE fixed
+    # command (`train.py --cfg x.yaml TRAIN.RESUME auto`) after preemption
+    args, cfg, _ = parse_args(
+        ["TRAIN.RESUME", "auto", "TRAIN.END_EPOCH", "60"])
+    assert cfg.TRAIN.RESUME == "auto"
+    assert cfg.TRAIN.END_EPOCH == 60
+    import pytest
+
+    with pytest.raises(SystemExit):  # unknown key -> argparse error
+        parse_args(["NOPE.KEY", "1"])
+    with pytest.raises(SystemExit):  # odd-length pairs -> argparse error
+        parse_args(["TRAIN.END_EPOCH"])
+
+
 def test_nan_param_reporter():
     import numpy as np
 

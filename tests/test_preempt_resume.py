@@ -99,6 +99,32 @@ def test_infinite_loader_state_restore_across_wrap():
 
 
 # --------------------------------------------------------------------------- #
+# TRAIN.RESUME='auto': newest preempt/epoch_N under OUTPUT_DIR wins
+# --------------------------------------------------------------------------- #
+
+def test_find_auto_resume(tmp_path):
+    from maed_tpu.utils.checkpoint import find_auto_resume
+
+    out = str(tmp_path / "results")
+    assert find_auto_resume(out) == ""  # no dir yet -> fresh start
+
+    run1 = osp.join(out, "run1")
+    for d in ("epoch_1", "epoch_2-tmp", "model_best"):  # -tmp/best excluded
+        os.makedirs(osp.join(run1, d))
+    t0 = time.time()
+    os.utime(osp.join(run1, "epoch_1"), (t0, t0))
+    assert find_auto_resume(out) == osp.join(run1, "epoch_1")
+
+    run2 = osp.join(out, "run2")
+    os.makedirs(osp.join(run2, "preempt"))
+    os.utime(osp.join(run2, "preempt"), (t0 + 100, t0 + 100))  # newer wins
+    assert find_auto_resume(out) == osp.join(run2, "preempt")
+
+    (tmp_path / "results" / "stray.txt").write_text("")  # files ignored
+    assert find_auto_resume(out) == osp.join(run2, "preempt")
+
+
+# --------------------------------------------------------------------------- #
 # Trainer-level exactness: interrupted+resumed == uninterrupted, bitwise
 # --------------------------------------------------------------------------- #
 
@@ -183,8 +209,11 @@ def test_preempt_resume_is_bit_exact(tmp_path):
     assert osp.isdir(osp.join(logdir, "preempt"))
 
     # --- C: fresh process-equivalent, resumed from the preempt ckpt ---- #
+    # via TRAIN.RESUME='auto' (newest ckpt under OUTPUT_DIR == the preempt
+    # dir B just wrote) — covers the trainer-side auto resolution too
     cfg_c = cfg.clone()
-    cfg_c.TRAIN.RESUME = osp.join(logdir, "preempt")
+    cfg_c.TRAIN.RESUME = "auto"
+    cfg_c.OUTPUT_DIR = str(tmp_path)
     # DIFFERENT init key: everything that matters must come from the ckpt
     state_c = init_train_state(model, tx, sample, smpl, jax.random.PRNGKey(9))
     trainer_c = trainer_for(cfg_c, state_c, step)
