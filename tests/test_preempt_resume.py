@@ -283,6 +283,7 @@ def test_sigterm_checkpoints_and_resumes_cli(tmp_path):
     cfg_path = _write_cfg(root, num_iters=400)
     env = cli_subprocess_env()
 
+    env["MAED_PREEMPT_EXIT"] = "75"  # supervisor contract: 75 = preempted
     proc = subprocess.Popen(
         [sys.executable, osp.join(REPO, "train.py"), "--cfg", cfg_path,
          "--allow_synthetic_smpl"],
@@ -316,7 +317,8 @@ def test_sigterm_checkpoints_and_resumes_cli(tmp_path):
             proc.kill()
             proc.communicate()
 
-    assert proc.returncode == 0, f"SIGTERM exit was not clean:\n{out[-3000:]}"
+    assert proc.returncode == 75, \
+        f"preempt exit should honor MAED_PREEMPT_EXIT:\n{out[-3000:]}"
     logdir = osp.dirname(logfile)
     assert osp.isdir(osp.join(logdir, "preempt")), os.listdir(logdir)
     assert "preempt" in out

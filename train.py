@@ -9,6 +9,7 @@ tpu-env auto-detection); rank-0 does the logging/checkpointing.
 """
 
 import os
+import sys
 
 import jax
 import numpy as np
@@ -143,13 +144,18 @@ def main():
         allow_missing_regressor=args.allow_synthetic_smpl,
     )
     trainer.fit()
-    if trainer.preempted and rank == 0:
-        # graceful preemption stop: the exact mid-epoch state is on disk;
-        # a supervisor relaunch with TRAIN.RESUME=<logdir>/preempt continues
-        # bit-exactly where this run stopped
-        (logger.info if logger else print)(
-            f"preempted — resume with TRAIN.RESUME={logdir}/preempt"
-        )
+    if trainer.preempted:
+        if rank == 0:
+            # graceful preemption stop: the exact mid-epoch state is on
+            # disk; a supervisor relaunch with TRAIN.RESUME=<logdir>/preempt
+            # (or TRAIN.RESUME=auto) continues bit-exactly from here
+            (logger.info if logger else print)(
+                f"preempted — resume with TRAIN.RESUME={logdir}/preempt"
+            )
+        # default exit 0 (pod managers treat nonzero as failure); a relaunch
+        # loop that must tell "preempted" from "finished" sets
+        # MAED_PREEMPT_EXIT to a distinct code (scripts/train_supervised.sh)
+        sys.exit(int(os.environ.get("MAED_PREEMPT_EXIT", "0")))
 
 
 if __name__ == "__main__":
