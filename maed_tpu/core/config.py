@@ -65,7 +65,26 @@ class CfgNode(dict):
             for p in parts[:-1]:
                 node = node[p]
             old = node[parts[-1]]
-            node[parts[-1]] = yaml.safe_load(value) if isinstance(old, (int, float, bool, list)) else value
+            if not isinstance(old, (int, float, bool, list)):
+                node[parts[-1]] = value
+                continue
+            new = yaml.safe_load(value)
+            # typed keys reject mistyped values loudly (a typo like
+            # `TRAIN.END_EPOCH sixty` must not silently store a string)
+            if isinstance(old, bool):
+                ok = isinstance(new, bool)
+            elif isinstance(old, float):
+                ok = isinstance(new, (int, float)) and not isinstance(new, bool)
+                new = float(new) if ok else new
+            elif isinstance(old, int):
+                ok = isinstance(new, int) and not isinstance(new, bool)
+            else:
+                ok = isinstance(new, list)
+            if not ok:
+                raise ValueError(
+                    f"config key {key} expects {type(old).__name__}, "
+                    f"got {value!r}")
+            node[parts[-1]] = new
 
     def dump(self) -> str:
         def plain(d):
@@ -216,6 +235,6 @@ def parse_args(argv=None):
     if args.opts:
         try:
             cfg.merge_from_list(args.opts)
-        except (KeyError, AssertionError) as e:
+        except (KeyError, ValueError, AssertionError) as e:
             parser.error(f"bad KEY VALUE overrides: {e}")
     return args, cfg, args.cfg

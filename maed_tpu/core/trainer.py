@@ -32,6 +32,26 @@ from maed_tpu.utils.checkpoint import (
 from maed_tpu.utils.logging_utils import AverageMeter, StepTimer
 
 
+def broadcast_str_from_rank0(value: str, rank: int, max_len: int = 1024) -> str:
+    """Share rank 0's string (e.g. a resolved resume path) with every process.
+
+    Multi-process resume must agree on ONE checkpoint: ranks resolving
+    TRAIN.RESUME='auto' against their own (possibly divergent) view of
+    OUTPUT_DIR would start at different epochs and hang each other's next
+    collective. Single-process: identity. Exercised with real 2-process
+    collectives in tests/mp_worker.py."""
+    if jax.process_count() <= 1:
+        return value
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros(max_len, np.uint8)
+    if rank == 0:
+        raw = value.encode()[:max_len]
+        buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+    buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return bytes(buf[buf != 0]).decode()
+
+
 class Trainer:
     def __init__(
         self,
@@ -120,10 +140,15 @@ class Trainer:
             if target == "auto":
                 # supervisor-friendly: relaunch the SAME command after a
                 # preemption/crash; the newest preempt or epoch_N checkpoint
-                # under OUTPUT_DIR wins, '' means fresh start
+                # of THIS experiment under OUTPUT_DIR wins, '' = fresh start.
+                # Rank 0 resolves and broadcasts: without a shared view of
+                # OUTPUT_DIR, ranks would resume divergently (different
+                # start epochs -> collective count mismatch hangs the job).
                 from maed_tpu.utils.checkpoint import find_auto_resume
 
-                target = find_auto_resume(cfg.OUTPUT_DIR)
+                if self.rank == 0:
+                    target = find_auto_resume(cfg.OUTPUT_DIR, cfg.EXP_NAME)
+                target = broadcast_str_from_rank0(target, self.rank)
                 if self.rank == 0:
                     msg = (f"TRAIN.RESUME=auto -> {target}" if target
                            else "TRAIN.RESUME=auto: no checkpoint found, "
@@ -181,6 +206,24 @@ class Trainer:
         return vid_batch, img_batch
 
     # ------------------------------------------------------------------ #
+    def _agree_preempt(self) -> bool:
+        """Promote the local preempt flag to a global stop decision.
+
+        Multi-process: SIGTERM delivery is skewed across hosts; every rank
+        must observe the SAME stop point or the ranks that kept going hang
+        in the next collective. All ranks enter this allgather at identical
+        deterministic points (log-window and epoch boundaries), so the
+        collective counts match."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            flags = multihost_utils.process_allgather(
+                np.int32(self._preempt_requested))
+            if bool(np.max(flags)):
+                self._preempt_requested = True
+        return self._preempt_requested
+
+    # ------------------------------------------------------------------ #
     def request_preempt(self, signum=None, frame=None):
         """Signal-handler-compatible graceful-stop hook: the current step
         finishes, then fit() writes the `preempt` checkpoint and returns
@@ -204,8 +247,15 @@ class Trainer:
 
         pending = []
         self._epoch_iters_done = self.num_iters
+        multiproc = jax.process_count() > 1
         for i in range(start_iter, self.num_iters):
-            if self._preempt_requested:
+            # multi-process runs only check at deterministic boundaries and
+            # agree via a collective: ranks receive SIGTERM with skew, and a
+            # rank that breaks one iteration earlier than its peers leaves
+            # them hanging in the next step's gradient all-reduce
+            stop = (self._agree_preempt() if multiproc and i % log_freq == 0
+                    else not multiproc and self._preempt_requested)
+            if stop:
                 # before pulling batches: the loaders' (epoch, pos) counters
                 # equal the number of consumed batches, so the emergency
                 # checkpoint records an exactly-resumable position
@@ -303,7 +353,7 @@ class Trainer:
                     self._resume_iter = 0
                 t0 = time.time()
                 train_metrics = self.train_epoch(start_iter=start_iter)
-                if self._preempt_requested:
+                if self._agree_preempt():  # epoch-boundary agreement too
                     if self.rank == 0 and self.logdir:
                         self._save_preempt()
                     self.preempted = True
@@ -441,6 +491,16 @@ class Trainer:
         # keep the TensorBoard x-axis continuous across the restart
         self.train_global_step = int(np.asarray(ckpt.get("step", 0)))
         self.best_performance = float(ckpt.get("performance", float("inf")))
+        # an epoch_N checkpoint stores ITS OWN performance, not the run's
+        # best — without the sibling best.txt a crash-resume would let a
+        # later, worse epoch overwrite a preserved model_best
+        best_txt = osp.join(osp.dirname(osp.abspath(path)), "best.txt")
+        if osp.isfile(best_txt):
+            try:
+                self.best_performance = min(
+                    self.best_performance, float(open(best_txt).read().strip()))
+            except ValueError:
+                pass
         if ckpt.get("epoch_iter") is not None:
             # preempt checkpoint: continue INSIDE the recorded epoch, at the
             # recorded iteration, with every loader repositioned exactly

@@ -54,22 +54,32 @@ def _write(path: str, state_np: Dict[str, Any], is_best: bool) -> None:
         best = osp.join(osp.dirname(path), "model_best")
         tmp = best + ".tmp"
         old = best + ".old"
+        staged = osp.join(tmp, ".staged")  # marks a COMPLETE copytree
         if not osp.exists(best):
             # a previous run crashed inside the swap window below: model_best
             # was renamed away (or a fully-staged .tmp never promoted). The
             # leftovers are the only surviving copies of a best checkpoint —
-            # restore the newer one rather than deleting it as stale.
-            for survivor in (tmp, old):
+            # restore the newer one rather than deleting it as stale. A .tmp
+            # WITHOUT the .staged marker is a partial copy (crash mid-
+            # copytree), never promoted — a truncated model_best would look
+            # valid until restore fails opaquely.
+            survivors = ([tmp] if osp.exists(staged) else []) + [old]
+            for survivor in survivors:
                 if osp.exists(survivor):
                     os.rename(survivor, best)
+                    marker = osp.join(best, ".staged")
+                    if osp.exists(marker):
+                        os.remove(marker)
                     break
         for stale in (tmp, old):
             if osp.exists(stale):
                 shutil.rmtree(stale)
         shutil.copytree(path, tmp)
+        open(staged, "w").close()
         if osp.exists(best):
             os.rename(best, old)
         os.rename(tmp, best)
+        os.remove(osp.join(best, ".staged"))
         if osp.exists(old):
             shutil.rmtree(old)
 
@@ -98,12 +108,16 @@ def save_checkpoint(ckpt_dir: str, state: Dict[str, Any], is_best: bool = False,
     # __array__ may return a zero-copy view that the jitted step's buffer
     # donation then reuses under the background write (ADVICE r3 low).
     state_np = jax.tree.map(lambda x: np.array(x), state)
+    # one write in flight at a time (sync OR async — the deadline-critical
+    # sync preempt write must not race a still-in-flight epoch_N writer
+    # thread on disk bandwidth or on model_best's swap files); also surfaces
+    # a failed background write here rather than silently.
+    wait_pending_saves()
     if not async_write:
         _write(path, state_np, is_best)
         if on_success is not None:
             on_success()
         return path
-    wait_pending_saves()  # one write in flight at a time; surface errors
 
     def run():
         try:
@@ -168,7 +182,7 @@ def resume_state(path: str) -> Dict[str, Any]:
     return load_checkpoint(path)
 
 
-def find_auto_resume(output_dir: str) -> str:
+def find_auto_resume(output_dir: str, exp_name: str = "") -> str:
     """Resolve TRAIN.RESUME='auto': the newest resumable checkpoint under any
     run dir in `output_dir`, or '' if none exists (fresh start).
 
@@ -178,11 +192,19 @@ def find_auto_resume(output_dir: str) -> str:
     (`train.py --cfg x.yaml TRAIN.RESUME auto`) after both preemptions and
     crashes. In-flight orbax tmp dirs and `model_best` (a duplicate of some
     epoch_N, possibly older than the latest) are excluded.
+
+    `exp_name` restricts the scan to this experiment's run dirs
+    (`<timestamp>_<exp_name>`, logging_utils.prepare_output_dir's layout) —
+    OUTPUT_DIR defaults to "results" for every config, and auto-resuming a
+    DIFFERENT experiment's newest checkpoint (e.g. stage-1 while launching
+    stage-2) would crash on mismatched param shapes at best.
     """
     candidates = []
     if not osp.isdir(output_dir):
         return ""
     for run in os.listdir(output_dir):
+        if exp_name and not run.endswith(f"_{exp_name}"):
+            continue
         rdir = osp.join(output_dir, run)
         if not osp.isdir(rdir):
             continue

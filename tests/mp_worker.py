@@ -82,6 +82,24 @@ def main():
         with open(os.path.join(outdir, "rank0_only.txt"), "w") as f:
             f.write("written by process 0 only\n")
 
+    # ---- round-4 preempt agreement + auto-resume broadcast ---------------- #
+    # Real-collective coverage of the two multi-process trainer primitives
+    # that the unit tests can only mock: (a) Trainer._agree_preempt — SIGTERM
+    # delivery is skewed, here ONLY rank 1 received it, yet every rank must
+    # adopt the stop decision or the others hang in the next gradient
+    # all-reduce; (b) broadcast_str_from_rank0 — TRAIN.RESUME='auto' must
+    # resolve to rank 0's checkpoint path on every process.
+    from maed_tpu.core.trainer import Trainer, broadcast_str_from_rank0
+
+    class _Flagged:
+        _preempt_requested = pid == 1
+
+    holder = _Flagged()
+    preempt_agreed = bool(Trainer._agree_preempt(holder))
+    preempt_promoted = bool(holder._preempt_requested)
+    resume_path = broadcast_str_from_rank0(
+        "results/run_7/preempt" if pid == 0 else "", rank=pid)
+
     # ---- the REAL train step over a cross-process global mesh ------------ #
     # This is the DCN-analog path (GSPMD gradient all-reduce spanning
     # process boundaries over gloo) that single-process virtual meshes can
@@ -151,6 +169,9 @@ def main():
             "total": total,
             "mesh_loss": loss,
             "mesh_param_fingerprint": psum,
+            "preempt_agreed": preempt_agreed,
+            "preempt_promoted": preempt_promoted,
+            "resume_path": resume_path,
         }, f)
 
     jax.distributed.shutdown()

@@ -101,6 +101,24 @@ def test_parse_args_opts_overrides():
         parse_args(["NOPE.KEY", "1"])
     with pytest.raises(SystemExit):  # odd-length pairs -> argparse error
         parse_args(["TRAIN.END_EPOCH"])
+    with pytest.raises(SystemExit):  # mistyped value -> argparse error
+        parse_args(["TRAIN.END_EPOCH", "sixty"])
+
+
+def test_merge_from_list_type_checks():
+    cfg = get_cfg_defaults()
+    import pytest
+
+    for key, bad in [("TRAIN.END_EPOCH", "sixty"),   # int <- str
+                     ("LOSS.KP_2D_W", "heavy"),       # float <- str
+                     ("DEBUG", "maybe"),              # bool <- str
+                     ("TRAIN.OPTIM.MILESTONES", "5")]:  # list <- int
+        with pytest.raises(ValueError):
+            cfg.merge_from_list([key, bad])
+    cfg.merge_from_list(["LOSS.KP_2D_W", "100"])  # int literal -> float key
+    assert cfg.LOSS.KP_2D_W == 100.0 and isinstance(cfg.LOSS.KP_2D_W, float)
+    cfg.merge_from_list(["DEBUG", "false", "TRAIN.OPTIM.MILESTONES", "[5,9]"])
+    assert cfg.DEBUG is False and cfg.TRAIN.OPTIM.MILESTONES == [5, 9]
 
 
 def test_nan_param_reporter():

@@ -86,6 +86,17 @@ def test_two_process_distributed(tmp_path):
     # rank gating: exactly process 0 wrote the artifact
     assert (tmp_path / "rank0_only.txt").is_file()
 
+    # preemption agreement (real allgather): only rank 1 "received" SIGTERM,
+    # but BOTH ranks must adopt the stop decision and promote their local
+    # flag — a lone early exit would hang the peer's next collective
+    for r in res:
+        assert r["preempt_agreed"] is True
+        assert r["preempt_promoted"] is True
+
+    # TRAIN.RESUME=auto broadcast: rank 0's resolved path wins everywhere
+    for r in res:
+        assert r["resume_path"] == "results/run_7/preempt"
+
     # the real train step executed over the cross-process global mesh:
     # finite loss, and both processes hold bit-identical replicated results
     # (the gradient all-reduce crossed the process boundary over gloo)

@@ -123,6 +123,17 @@ def test_find_auto_resume(tmp_path):
     (tmp_path / "results" / "stray.txt").write_text("")  # files ignored
     assert find_auto_resume(out) == osp.join(run2, "preempt")
 
+    # exp_name filter: a DIFFERENT experiment's newer checkpoint is not a
+    # candidate (auto must never resume mismatched params, e.g. stage-1
+    # while launching stage-2 — OUTPUT_DIR defaults to "results" for all)
+    stage1 = osp.join(out, "run3_stage1")
+    os.makedirs(osp.join(stage1, "epoch_9"))
+    os.utime(osp.join(stage1, "epoch_9"), (t0 + 200, t0 + 200))
+    assert find_auto_resume(out) == osp.join(stage1, "epoch_9")  # unfiltered
+    assert find_auto_resume(out, exp_name="stage1") == \
+        osp.join(stage1, "epoch_9")
+    assert find_auto_resume(out, exp_name="stage2") == ""
+
 
 # --------------------------------------------------------------------------- #
 # Trainer-level exactness: interrupted+resumed == uninterrupted, bitwise
@@ -189,7 +200,7 @@ def test_preempt_resume_is_bit_exact(tmp_path):
     assert int(trainer_a.state.step) == 6
 
     # --- B: same run, preempted after 4 steps (epoch 1, iter 1) -------- #
-    logdir = str(tmp_path / "run")
+    logdir = str(tmp_path / "run_default")  # _<EXP_NAME>: auto's exp filter
     os.makedirs(logdir, exist_ok=True)
     calls = [0]
     holder = {}
@@ -211,6 +222,8 @@ def test_preempt_resume_is_bit_exact(tmp_path):
     # --- C: fresh process-equivalent, resumed from the preempt ckpt ---- #
     # via TRAIN.RESUME='auto' (newest ckpt under OUTPUT_DIR == the preempt
     # dir B just wrote) — covers the trainer-side auto resolution too
+    with open(osp.join(logdir, "best.txt"), "w") as f:
+        f.write("42.5")  # historical best: resume must not regress past it
     cfg_c = cfg.clone()
     cfg_c.TRAIN.RESUME = "auto"
     cfg_c.OUTPUT_DIR = str(tmp_path)
@@ -218,6 +231,7 @@ def test_preempt_resume_is_bit_exact(tmp_path):
     state_c = init_train_state(model, tx, sample, smpl, jax.random.PRNGKey(9))
     trainer_c = trainer_for(cfg_c, state_c, step)
     assert trainer_c.start_epoch == 1 and trainer_c._resume_iter == 1
+    assert trainer_c.best_performance == 42.5  # min(ckpt perf, best.txt)
     trainer_c.fit()
     assert int(trainer_c.state.step) == 6
 

@@ -148,10 +148,12 @@ def test_model_best_recovers_from_crash_inside_swap_window(tmp_path):
     ckpt.save_checkpoint(str(tmp_path), {"w": np.ones(3)}, is_best=True,
                          name="epoch_0", async_write=False)
     best = tmp_path / "model_best"
-    # reproduce the on-disk state of the crash window by hand
+    # reproduce the on-disk state of the crash window by hand (a real crash
+    # there leaves the .staged marker inside the fully-copied .tmp)
     shutil.copytree(best, tmp_path / "model_best.tmp_src")
     os.rename(best, tmp_path / "model_best.old")
     os.rename(tmp_path / "model_best.tmp_src", tmp_path / "model_best.tmp")
+    (tmp_path / "model_best.tmp" / ".staged").write_text("")
     assert not best.exists()
 
     # a non-best save touches nothing; the next best save recovers + swaps
@@ -161,6 +163,50 @@ def test_model_best_recovers_from_crash_inside_swap_window(tmp_path):
     np.testing.assert_array_equal(restored["w"], 5 * np.ones(3))
     assert not (tmp_path / "model_best.tmp").exists()
     assert not (tmp_path / "model_best.old").exists()
+
+
+def test_partial_tmp_never_promoted_to_model_best(tmp_path):
+    """Crash mid-copytree during the FIRST-ever best save leaves a partial
+    .tmp and NO model_best/.old. The next best save must not promote the
+    truncated copy (it lacks the .staged marker) — a half-copied model_best
+    would look valid until an orbax restore fails opaquely."""
+    from maed_tpu.utils import checkpoint as ckpt
+
+    os.makedirs(tmp_path / "model_best.tmp")
+    (tmp_path / "model_best.tmp" / "garbage").write_text("partial copy")
+
+    ckpt.save_checkpoint(str(tmp_path), {"w": 7 * np.ones(3)}, is_best=True,
+                         name="epoch_0", async_write=False)
+    best = tmp_path / "model_best"
+    restored = ckpt.load_checkpoint(str(best))
+    np.testing.assert_array_equal(restored["w"], 7 * np.ones(3))
+    assert not (best / ".staged").exists()  # marker never ships in best
+    assert not (best / "garbage").exists()  # partial tmp was discarded
+    assert not (tmp_path / "model_best.tmp").exists()
+
+
+def test_agree_preempt_promotes_remote_flag(monkeypatch):
+    """Multi-process preemption stop: a rank whose OWN flag is unset must
+    adopt a peer's SIGTERM at the agreement boundary, so every rank breaks
+    at the same iteration (a lone early exit hangs the others' next
+    gradient all-reduce)."""
+    import sys
+    import types
+
+    from maed_tpu.core import trainer as trainer_mod
+
+    class Dummy:
+        _preempt_requested = False
+
+    d = Dummy()
+    fake = types.SimpleNamespace(
+        process_allgather=lambda x: np.array([0, 1], np.int32))
+    monkeypatch.setattr(trainer_mod.jax, "process_count", lambda: 2)
+    monkeypatch.setitem(sys.modules, "jax.experimental.multihost_utils", fake)
+    monkeypatch.setattr(jax.experimental, "multihost_utils", fake,
+                        raising=False)
+    assert trainer_mod.Trainer._agree_preempt(d) is True
+    assert d._preempt_requested is True  # promoted, so fit() also stops
 
 
 def test_on_success_runs_after_write_lands(tmp_path):

@@ -350,7 +350,10 @@ def train_and_eval(out, margin=0.7):
         sys.stderr.write(r.stderr[-4000:])
         raise RuntimeError(f"train.py failed rc={r.returncode}")
     results_dir = osp.join(out, "results")
-    runs = sorted(osp.join(results_dir, d) for d in os.listdir(results_dir))
+    # newest by mtime: the day-first timestamps in run-dir names sort
+    # lexicographically, not chronologically, across month boundaries
+    runs = sorted((osp.join(results_dir, d) for d in os.listdir(results_dir)),
+                  key=os.path.getmtime)
     best = osp.join(runs[-1], "model_best")
     assert osp.isdir(best), f"no model_best under {runs[-1]}"
 
