@@ -245,3 +245,15 @@ def test_save_keep_last_zero_clamps_to_one(tmp_path):
         os.makedirs(tmp_path / f"epoch_{e}")
     Trainer._prune_checkpoints(t)
     assert sorted(os.listdir(tmp_path)) == ["epoch_3"]
+
+
+def test_broadcast_str_single_process_identity():
+    """broadcast_str_from_rank0 degenerates to identity when there is only
+    one process (no collective, no device work) — the common single-host
+    path must not pay or require a distributed runtime. The real 2-process
+    broadcast is exercised in test_multiprocess via tests/mp_worker.py."""
+    from maed_tpu.core.trainer import broadcast_str_from_rank0
+
+    assert broadcast_str_from_rank0("", rank=0) == ""
+    path = "results/19-08-2026_x_default/preempt"
+    assert broadcast_str_from_rank0(path, rank=0) == path
