@@ -7,7 +7,20 @@ module does it at import time (pytest imports conftest before test modules).
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# HARD override, not setdefault: the image env exports JAX_PLATFORMS=axon.
+# Several CLI/tool modules call honor_env_platform() at import time, and
+# pytest imports every test module (and whatever they import — demo.py,
+# tools/accept_synthetic.py, ...) during COLLECTION, before any backend is
+# initialized. With the env var still saying "axon", the first such import
+# flipped the live pytest process onto the real TPU tunnel: every test ran
+# over the tunnel (slow), 8-device mesh tests failed (1 real chip), and
+# jax.export platforms=("cpu",) tests failed. Forcing the env var makes
+# every honor_env_platform() call re-pin cpu instead.
+os.environ["JAX_PLATFORMS"] = "cpu"
+# same reasoning for the compile cache: honor_env_platform() redirects the
+# cache dir unless the env var pins it (utils/platform.py).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/.cache/jax_test_cache")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
