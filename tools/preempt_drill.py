@@ -1,0 +1,244 @@
+"""On-chip preempt -> auto-resume bit-exactness drill (round 4).
+
+tests/test_preempt_resume.py proves the preemption contract on the CPU
+backend: SIGTERM -> in-flight step finishes -> exact mid-epoch checkpoint ->
+TRAIN.RESUME=auto continues bit-exactly. This tool executes the SAME
+contract through the real CLIs on the real TPU chip, where buffer donation,
+the async dispatch pipeline and the remote-compile path are the parts a CPU
+run cannot vouch for (the on-chip f32 learn soak already showed the train
+step itself is bit-deterministic at flagship scale; this drill closes the
+loop around the checkpoint/restart machinery).
+
+Protocol (reference trainer semantics: /root/reference/lib/core/trainer.py
+save/resume, 330-368):
+  run A: train.py, uninterrupted, END_EPOCH epochs on the synthetic
+         acceptance dataset (tools/accept_synthetic.py generate).
+  run B: the IDENTICAL command (incl. TRAIN.RESUME auto — the supervisor
+         contract of scripts/train_supervised.sh), SIGTERM'd once a [Train]
+         log line of epoch >= --interrupt_epoch appears; must exit with
+         MAED_PREEMPT_EXIT (75); then relaunched once and run to completion.
+  check: the final epoch_{END-1} checkpoints of A and B agree BIT-EXACTLY
+         on every params/opt_state/rng leaf.
+
+Usage:
+  python tools/preempt_drill.py --out /tmp/pdrill              # TPU (image default backend)
+  python tools/preempt_drill.py --out /tmp/pdrill --platform cpu   # self-check
+Writes <out>/preempt_drill.json and prints one JSON line.
+"""
+
+import argparse
+import json
+import os
+import os.path as osp
+import re
+import signal
+import subprocess
+import sys
+import time
+
+_REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+# the drill parent is an orchestrator + host-side comparator; it must never
+# become a second TPU process next to the train.py children it launches
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+PREEMPT_RC = 75
+
+
+def _child_env(platform: str):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # the 8-device virtual CPU mesh flag breaks single-chip runs
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "host_platform_device_count" not in f)
+    if platform == "cpu":
+        env["JAX_PLATFORMS"] = "cpu"
+    else:
+        # this image's TPU backend registers as the 'axon' platform; say so
+        # explicitly (the parent pinned cpu for itself, and an UNSET var
+        # would leave the choice to plugin priority)
+        env["JAX_PLATFORMS"] = "axon"
+    env["MAED_PREEMPT_EXIT"] = str(PREEMPT_RC)
+    return env
+
+
+def _train_cmd(cfg_path: str, outdir: str, end_epoch: int, iters: int):
+    # one fixed command for every (re)launch — the supervisor contract
+    return [sys.executable, osp.join(_REPO, "train.py"),
+            "--cfg", cfg_path, "--allow_synthetic_smpl",
+            "OUTPUT_DIR", outdir, "EXP_NAME", "drill",
+            "TRAIN.END_EPOCH", str(end_epoch),
+            "TRAIN.NUM_ITERS_PER_EPOCH", str(iters),
+            "TRAIN.RESUME", "auto"]
+
+
+def _newest_train_log(outdir: str):
+    logs = []
+    if osp.isdir(outdir):
+        for run in os.listdir(outdir):
+            p = osp.join(outdir, run, "train_log.txt")
+            if osp.isfile(p):
+                logs.append((os.path.getmtime(p), p))
+    return max(logs)[1] if logs else None
+
+
+def _run_to_completion(cmd, env, cwd, timeout):
+    r = subprocess.run(cmd, env=env, cwd=cwd, capture_output=True,
+                       text=True, timeout=timeout)
+    if r.returncode != 0:
+        sys.stderr.write(r.stdout[-2000:] + r.stderr[-4000:])
+        raise RuntimeError(f"train.py failed rc={r.returncode}")
+    return r
+
+
+def _run_with_sigterm(cmd, env, cwd, interrupt_epoch, timeout):
+    """Launch train.py, SIGTERM it once a [Train] line of epoch >=
+    interrupt_epoch appears in the run's log, assert the supervisor rc."""
+    proc = subprocess.Popen(cmd, env=env, cwd=cwd, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    pat = re.compile(r"\[Train\] epoch (\d+)/")
+    deadline = time.time() + timeout
+    outdir = cmd[cmd.index("OUTPUT_DIR") + 1]
+    fired_at = None
+    try:
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                out = proc.stdout.read()
+                raise RuntimeError(
+                    f"train.py exited rc={proc.returncode} before the "
+                    f"interrupt point: {out[-3000:]}")
+            log = _newest_train_log(outdir)
+            if log:
+                epochs = [int(m) for m in pat.findall(open(log).read())]
+                # log lines print epoch+1; interrupt_epoch is 0-based
+                if epochs and max(epochs) >= interrupt_epoch + 1:
+                    fired_at = max(epochs)
+                    proc.send_signal(signal.SIGTERM)
+                    break
+            time.sleep(0.5)
+        else:
+            raise RuntimeError("no [Train] line of the interrupt epoch "
+                               "within budget")
+        out, _ = proc.communicate(timeout=900)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    if proc.returncode != PREEMPT_RC:
+        raise RuntimeError(
+            f"expected preempt rc={PREEMPT_RC}, got {proc.returncode}: "
+            f"{out[-3000:]}")
+    preempts = []
+    for run in os.listdir(outdir):
+        p = osp.join(outdir, run, "preempt")
+        if osp.isdir(p):
+            preempts.append(p)
+    if not preempts:
+        raise RuntimeError(f"no preempt checkpoint under {outdir}")
+    return fired_at
+
+
+def _final_ckpt(outdir: str, end_epoch: int) -> str:
+    """Newest epoch_{END-1} dir across the (possibly two) run dirs."""
+    want = f"epoch_{end_epoch - 1}"
+    cands = []
+    for run in os.listdir(outdir):
+        p = osp.join(outdir, run, want)
+        if osp.isdir(p):
+            cands.append((os.path.getmtime(p), p))
+    if not cands:
+        raise RuntimeError(f"no {want} under {outdir}")
+    return max(cands)[1]
+
+
+def _compare(path_a: str, path_b: str):
+    import numpy as np
+
+    from maed_tpu.utils.checkpoint import load_checkpoint
+
+    a, b = load_checkpoint(path_a), load_checkpoint(path_b)
+    mismatches, n = [], 0
+
+    def walk(x, y, path=""):
+        nonlocal n
+        if isinstance(x, dict):
+            assert set(x) == set(y), f"{path}: keys {set(x) ^ set(y)}"
+            for k in x:
+                walk(x[k], y[k], f"{path}/{k}")
+            return
+        n += 1
+        xa, ya = np.asarray(x), np.asarray(y)
+        if xa.shape != ya.shape or not np.array_equal(xa, ya):
+            mismatches.append(path)
+
+    for key in ("params", "opt_state", "rng", "step"):
+        walk(a[key], b[key], key)
+    return n, mismatches
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/pdrill")
+    ap.add_argument("--platform", choices=["tpu", "cpu"], default="tpu")
+    ap.add_argument("--end_epoch", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--interrupt_epoch", type=int, default=2,
+                    help="0-based epoch whose first logged window triggers "
+                         "the SIGTERM")
+    ap.add_argument("--timeout", type=int, default=3600,
+                    help="per-run budget (TPU compile over the tunnel "
+                         "dominates the first run)")
+    args = ap.parse_args()
+
+    out = osp.abspath(args.out)
+    os.makedirs(out, exist_ok=True)
+    cfg_path = osp.join(out, "accept.yaml")
+    if not osp.isfile(cfg_path):
+        print("[drill] generating the synthetic acceptance dataset...")
+        subprocess.run(
+            [sys.executable, osp.join(_REPO, "tools", "accept_synthetic.py"),
+             "generate", "--out", out],
+            env=_child_env("cpu"), check=True, timeout=1800)
+
+    env = _child_env(args.platform)
+    res_a, res_b = osp.join(out, "resA"), osp.join(out, "resB")
+    cmd_a = _train_cmd(cfg_path, res_a, args.end_epoch, args.iters)
+    cmd_b = _train_cmd(cfg_path, res_b, args.end_epoch, args.iters)
+
+    t0 = time.time()
+    print(f"[drill] run A (uninterrupted, {args.end_epoch} epochs x "
+          f"{args.iters} iters, platform={args.platform})...")
+    _run_to_completion(cmd_a, env, out, args.timeout)
+    t_a = time.time() - t0
+
+    print(f"[drill] run B (SIGTERM at epoch {args.interrupt_epoch}, then "
+          "one relaunch of the identical command)...")
+    t0 = time.time()
+    fired_at = _run_with_sigterm(cmd_b, env, out, args.interrupt_epoch,
+                                 args.timeout)
+    _run_to_completion(cmd_b, env, out, args.timeout)
+    t_b = time.time() - t0
+
+    ck_a = _final_ckpt(res_a, args.end_epoch)
+    ck_b = _final_ckpt(res_b, args.end_epoch)
+    n, mismatches = _compare(ck_a, ck_b)
+
+    result = {
+        "platform": args.platform, "end_epoch": args.end_epoch,
+        "iters": args.iters, "interrupted_at_logged_epoch": fired_at,
+        "leaves_compared": n, "mismatched_leaves": mismatches[:20],
+        "run_a_s": round(t_a, 1), "run_b_s": round(t_b, 1),
+        "pass": not mismatches,
+    }
+    with open(osp.join(out, "preempt_drill.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+    if mismatches:
+        sys.exit(f"FAIL: {len(mismatches)}/{n} leaves differ "
+                 f"({mismatches[:5]}...)")
+    print(f"[drill] PASS — {n} leaves bit-identical after preempt+resume")
+
+
+if __name__ == "__main__":
+    main()
