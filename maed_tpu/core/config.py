@@ -69,6 +69,16 @@ class CfgNode(dict):
                 node[parts[-1]] = value
                 continue
             new = yaml.safe_load(value)
+            if isinstance(new, str) and isinstance(old, (int, float)) \
+                    and not isinstance(old, bool):
+                # YAML 1.1 quirk: bare scientific notation without a dot or
+                # sign ('1e-4') parses as a STRING; yacs (ast.literal_eval)
+                # accepts it, and `TRAIN.OPTIM.LR 1e-4` is the single most
+                # common override spelling (ADVICE r4) — retry as a number
+                try:
+                    new = float(new) if isinstance(old, float) else int(new)
+                except ValueError:
+                    pass
             # typed keys reject mistyped values loudly (a typo like
             # `TRAIN.END_EPOCH sixty` must not silently store a string)
             if isinstance(old, bool):

@@ -46,7 +46,14 @@ def broadcast_str_from_rank0(value: str, rank: int, max_len: int = 1024) -> str:
 
     buf = np.zeros(max_len, np.uint8)
     if rank == 0:
-        raw = value.encode()[:max_len]
+        raw = value.encode()
+        if len(raw) > max_len:
+            # never truncate silently: every rank would resume from a
+            # truncated path and fail later with an unrelated-looking
+            # load error (ADVICE r4)
+            raise ValueError(
+                f"broadcast_str_from_rank0: value is {len(raw)} bytes, "
+                f"max_len={max_len} (path too deep?): {value[:120]}...")
         buf[: len(raw)] = np.frombuffer(raw, np.uint8)
     buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
     return bytes(buf[buf != 0]).decode()
@@ -260,6 +267,16 @@ class Trainer:
                 # equal the number of consumed batches, so the emergency
                 # checkpoint records an exactly-resumable position
                 self._epoch_iters_done = i
+                # steps since the last log boundary were trained and are
+                # about to be checkpointed — flush them (with the NaN
+                # check) so the returned metrics/TensorBoard cover every
+                # step the preempt checkpoint contains (ADVICE r4)
+                for m in pending:
+                    if np.isnan(float(m["loss"])):
+                        sys.exit("Nan value in loss, exiting!...")
+                    for k, v in m.items():
+                        meters.setdefault(k, AverageMeter()).update(float(v))
+                pending.clear()
                 break
             timer.start()
             vid_batch, img_batch = self._device_batches(i)

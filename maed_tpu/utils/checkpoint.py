@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import os.path as osp
+import re
 import shutil
 import threading
 from typing import Any, Dict, List, Optional
@@ -209,9 +210,12 @@ def find_auto_resume(output_dir: str, exp_name: str = "") -> str:
         if not osp.isdir(rdir):
             continue
         for name in os.listdir(rdir):
-            if name != "preempt" and not (
-                name.startswith("epoch_") and not name.endswith("-tmp")
-            ):
+            # strict whitelist, NOT a '-tmp' suffix blacklist: orbax's
+            # in-flight dir name is version-dependent ('...-tmp' in the
+            # pinned 0.11.32, '...-tmp-<ts>' elsewhere), and a crash-
+            # truncated partial write must never win the newest-mtime
+            # race after an orbax upgrade (ADVICE r4)
+            if not re.fullmatch(r"epoch_\d+|preempt", name):
                 continue
             path = osp.join(rdir, name)
             if osp.isdir(path):

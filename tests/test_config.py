@@ -119,6 +119,12 @@ def test_merge_from_list_type_checks():
     assert cfg.LOSS.KP_2D_W == 100.0 and isinstance(cfg.LOSS.KP_2D_W, float)
     cfg.merge_from_list(["DEBUG", "false", "TRAIN.OPTIM.MILESTONES", "[5,9]"])
     assert cfg.DEBUG is False and cfg.TRAIN.OPTIM.MILESTONES == [5, 9]
+    # YAML 1.1 parses bare scientific notation as a STRING; yacs accepts it
+    # and `TRAIN.OPTIM.LR 1e-4` is the most common LR spelling (ADVICE r4)
+    cfg.merge_from_list(["TRAIN.OPTIM.LR", "1e-4"])
+    assert cfg.TRAIN.OPTIM.LR == 1e-4 and isinstance(cfg.TRAIN.OPTIM.LR, float)
+    with pytest.raises(ValueError):  # still rejects genuine non-numbers
+        cfg.merge_from_list(["TRAIN.OPTIM.LR", "1e-4x"])
 
 
 def test_nan_param_reporter():
