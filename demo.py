@@ -149,7 +149,13 @@ def main():
         "bbox": bboxes,
     }
     dataset = VideoDataset(
-        "demo", "test", build_eval_transforms(d.WIDTH, d.HEIGHT),
+        "demo", "test",
+        build_eval_transforms(
+            d.WIDTH, d.HEIGHT,
+            device_normalize=bool(getattr(d, "DEVICE_PREPROC", False)),
+            # single-video footage has uniform frame sizes — the DEVICE_CROP
+            # pack (raw frames + affines, crop on the MXU) applies cleanly
+            device_crop=bool(getattr(d, "DEVICE_CROP", False))),
         seqlen=0, sample_pool=cfg.EVAL.SAMPLE_POOL, overlap=0,
         random_sample=False, random_start=False, db=db, verbose=False,
     )
@@ -157,6 +163,9 @@ def main():
                            drop_last=False)
 
     def eval_fwd(variables, images, J_regressor=None):
+        from maed_tpu.ops.image import apply_device_preproc
+
+        images = apply_device_preproc(images, d.HEIGHT, d.WIDTH)
         return model.apply(variables, images, smpl, J_regressor=J_regressor)
 
     evaluator = Evaluator(smpl)

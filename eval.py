@@ -34,7 +34,11 @@ def main():
 
     d = cfg.DATASET
     dataset = VideoDataset(
-        args.eval_ds, args.eval_set, build_eval_transforms(d.WIDTH, d.HEIGHT),
+        args.eval_ds, args.eval_set,
+        build_eval_transforms(
+            d.WIDTH, d.HEIGHT,
+            device_normalize=bool(getattr(d, "DEVICE_PREPROC", False)),
+            device_crop=bool(getattr(d, "DEVICE_CROP", False))),
         seqlen=0, sample_pool=cfg.EVAL.SAMPLE_POOL, overlap=0,
         random_sample=False, random_start=False,
     )
@@ -43,6 +47,11 @@ def main():
     )
 
     def eval_fwd(variables, images, J_regressor=None):
+        from maed_tpu.ops.image import apply_device_preproc
+
+        # DEVICE_CROP packs crop in-jit here; uint8 crops normalize inside
+        # the model; f32 passes through (all three contracts, one forward)
+        images = apply_device_preproc(images, d.HEIGHT, d.WIDTH)
         return model.apply(variables, images, smpl, J_regressor=J_regressor)
 
     # use every local device: dp-shard the clip batch over a mesh (same path

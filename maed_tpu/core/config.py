@@ -178,6 +178,18 @@ def get_cfg_defaults() -> CfgNode:
             ERASE_FILL=False,
             ERASE_KP=False,
             ERASE_MARGIN=0.2,
+            # TPU-native extension (not in the reference schema): ship clips
+            # to the device as uint8 and ImageNet-normalize INSIDE the jit
+            # (models/maed.py -> ops/image.device_normalize). 1/4 the
+            # host->device bytes per step; the normalize fuses into the stem.
+            # False restores the reference contract (host f32 normalize).
+            DEVICE_PREPROC=True,
+            # eval-path extension: ship RAW uint8 frames + per-frame affines
+            # and run the crop itself in-jit on the MXU (ops/image.
+            # batch_crop_normalize). Opt-in: wins only when source frames
+            # are near crop size AND uniformly sized (demo/serve footage);
+            # full-resolution video would ship MORE bytes than uint8 crops.
+            DEVICE_CROP=False,
         ),
         LOSS=_node(
             KP_2D_W=60.0,

@@ -181,22 +181,32 @@ class Evaluator:
                 from maed_tpu.parallel.mesh import shard_batch
 
                 return shard_batch({"images": inp}, mesh)["images"]
-            return jnp.asarray(inp)
+            return jax.tree.map(jnp.asarray, inp)
 
         start = time.time()
         n_batches = 0
         for target in dataloader:
-            images = np.asarray(target["images"])  # (N, P, H, W, 3)
-            N = images.shape[0]
+            # 'images' is a (N, P, H, W, 3) array of cropped clips, or — in
+            # DEVICE_CROP mode — a {'frames', 'trans'} pack of raw frames +
+            # affines whose crop runs inside the forward's jit. Both leaves
+            # share the (N, P) leading axes, so the windowing protocol below
+            # strides/pads them uniformly as a pytree.
+            images = np.asarray(target["images"]) if "trans" not in target else {
+                "frames": np.asarray(target["images"]),
+                "trans": np.asarray(target["trans"]),
+            }
+            lead = jax.tree.leaves(images)[0]
+            N = lead.shape[0]
             pad_n = 0
             if batch_size is not None and N < batch_size:
                 pad_n = batch_size - N
-                images = np.concatenate(
-                    [images, np.zeros((pad_n,) + images.shape[1:], images.dtype)], axis=0
-                )
+                images = jax.tree.map(
+                    lambda a: np.concatenate(
+                        [a, np.zeros((pad_n,) + a.shape[1:], a.dtype)], axis=0),
+                    images)
 
-            orig_len = images.shape[1]
-            interp_len = images[:, ::interp].shape[1]
+            orig_len = lead.shape[1]
+            interp_len = lead[:, ::interp].shape[1]
             sample_freq = interp_len // seqlen
 
             # joints with nonzero conf in the first target frame define the
@@ -217,7 +227,8 @@ class Evaluator:
             # merge below overlap the remaining sub-clips' device compute
             # instead of idling the chip once per fetch
             pending = [
-                run_fwd(to_device(images[:, ::interp][:, i::sample_freq]))
+                run_fwd(to_device(jax.tree.map(
+                    lambda a: a[:, ::interp][:, i::sample_freq], images)))
                 for i in range(sample_freq)
             ]
             per_clip = defaultdict(list)

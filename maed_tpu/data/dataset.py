@@ -151,7 +151,14 @@ class VideoDataset:
             raw["bbox"] = bbox
         out = self.transforms(raw, rng)
 
-        target["images"] = out["clip"].astype(np.float32)
+        clip = np.asarray(out["clip"])
+        # uint8 clips ride to the device as-is (DEVICE_PREPROC: the model
+        # normalizes in-jit and the host ships 1/4 the bytes)
+        target["images"] = clip if clip.dtype == np.uint8 else clip.astype(np.float32)
+        if "trans" in out:
+            # DEVICE_CROP pack: raw frames + affines; the crop runs in-jit
+            # (Evaluator/step call ops/image.apply_device_preproc)
+            target["trans"] = np.asarray(out["trans"], np.float32)
         target["kp_2d"] = np.asarray(out["kp_2d"], np.float32)
         target["kp_3d"] = np.asarray(out["kp_3d"], np.float32)
         target["theta"] = np.concatenate(
@@ -233,8 +240,9 @@ class ImageDataset:
         }
         out = self.transforms(raw, rng)
 
+        img0 = np.asarray(out["clip"][0])
         return {
-            "image": out["clip"][0].astype(np.float32),
+            "image": img0 if img0.dtype == np.uint8 else img0.astype(np.float32),
             "kp_2d": np.asarray(out["kp_2d"], np.float32)[0],
             "kp_3d": np.asarray(out["kp_3d"], np.float32)[0],
             "theta": np.concatenate(

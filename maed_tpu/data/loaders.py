@@ -403,7 +403,10 @@ def get_data_loaders(
     # stacks are crop/erase/flip only (/root/reference/train.py:40-63)
     train_tf_3d = build_train_transforms(d, color_jitter=True)
     train_tf = build_train_transforms(d, color_jitter=False)
-    eval_tf = build_eval_transforms(d.WIDTH, d.HEIGHT)
+    eval_tf = build_eval_transforms(
+        d.WIDTH, d.HEIGHT,
+        device_normalize=bool(getattr(d, "DEVICE_PREPROC", False)),
+        device_crop=bool(getattr(d, "DEVICE_CROP", False)))
     db_overrides = db_overrides or {}
     # worker processes (reference DataLoader NUM_WORKERS) only help with
     # spare cores; on a 1-core host fall back to the prefetch thread

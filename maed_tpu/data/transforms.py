@@ -366,14 +366,25 @@ class RandomHFlipVideo:
 
 class StackNormalize:
     """[0,255] HWC uint8 frames -> (T, H, W, 3) float32, ImageNet-normalized;
-    kp_2d xy -> [-1, 1]."""
+    kp_2d xy -> [-1, 1].
 
-    def __init__(self, patch_size=224):
+    device_normalize=True (DATASET.DEVICE_PREPROC) stacks the frames as
+    uint8 instead and leaves normalization to the device (the model's in-jit
+    ops/image.device_normalize): 1/4 the host->device bytes per step, same
+    f32 arithmetic on the same uint8 crop — every augmentation before this
+    stage (crop/jitter/erase/flip) already operates on uint8."""
+
+    def __init__(self, patch_size=224, device_normalize=False):
         self.patch_size = patch_size
+        self.device_normalize = device_normalize
 
     def __call__(self, inst, rng=None):
-        clip = np.stack(inst["clip"], axis=0).astype(np.float32) / 255.0
-        clip = (clip - IMAGENET_MEAN) / IMAGENET_STD
+        clip = np.stack(inst["clip"], axis=0)
+        if self.device_normalize and clip.dtype == np.uint8:
+            pass  # ship uint8; the model normalizes in-jit
+        else:
+            clip = clip.astype(np.float32) / 255.0
+            clip = (clip - IMAGENET_MEAN) / IMAGENET_STD
         out = dict(inst)
         out["clip"] = clip
         if "kp_2d" in inst:
@@ -397,10 +408,15 @@ def _decode_jpeg_cv2(blob, idx):
 class FusedCropNormalize:
     """Native (C++) fused affine-crop + ImageNet-normalize for the eval path
     (no intermediate augmentations between crop and normalize). Falls back to
-    CropVideo + StackNormalize when the native library is unavailable."""
+    CropVideo + StackNormalize when the native library is unavailable.
 
-    def __init__(self, height=224, width=224):
+    device_normalize=True (DATASET.DEVICE_PREPROC) crops to uint8 instead
+    and skips the normalize — the device applies it in-jit
+    (ops/image.device_normalize), so the host ships 1/4 the bytes."""
+
+    def __init__(self, height=224, width=224, device_normalize=False):
         self.h, self.w = height, width
+        self.device_normalize = device_normalize
         self._fallback = None
 
     @property
@@ -415,8 +431,12 @@ class FusedCropNormalize:
     def __call__(self, inst, rng: np.random.RandomState):
         from maed_tpu import native
 
+        # device mode needs the u8-output entry points; an older binary
+        # without them degrades to the cv2 fallback (still uint8 output)
+        native_ok = native.native_available() and (
+            not self.device_normalize or native.has_u8_crop())
         has_bytes = inst["clip"] and isinstance(inst["clip"][0], (bytes, bytearray))
-        if "bbox" not in inst or not native.native_available() or (
+        if "bbox" not in inst or not native_ok or (
             has_bytes and not native.has_jpeg_decode()
         ):
             if has_bytes:  # native decode vanished between read and here
@@ -425,10 +445,12 @@ class FusedCropNormalize:
                     _decode_jpeg_cv2(b, i) for i, b in enumerate(inst["clip"])
                 ]
                 has_bytes = False
-            if "bbox" not in inst or not native.native_available():
+            if "bbox" not in inst or not native_ok:
                 if self._fallback is None:
                     self._fallback = Compose([
-                        CropVideo(self.h, self.w), StackNormalize(self.w),
+                        CropVideo(self.h, self.w),
+                        StackNormalize(self.w,
+                                       device_normalize=self.device_normalize),
                     ])
                 return self._fallback(inst, rng)
 
@@ -436,18 +458,66 @@ class FusedCropNormalize:
             gen_crop_trans(bbox, (1.3, 1.3), 0.0, (0.0, 0.0), self.w, self.h)
             for bbox in inst["bbox"]
         ])
+        crop_decoded = (native.clip_crop_u8 if self.device_normalize
+                        else native.clip_crop_normalize)
+        crop_bytes = (native.clip_decode_crop_u8 if self.device_normalize
+                      else native.clip_decode_crop_normalize)
         if has_bytes:
-            clip = native.clip_decode_crop_normalize(
-                inst["clip"], trans, self.h, self.w)
+            clip = crop_bytes(inst["clip"], trans, self.h, self.w)
             if clip is None:  # corrupt frame: decode via cv2 and retry
                 frames = [
                     _decode_jpeg_cv2(b, i) for i, b in enumerate(inst["clip"])
                 ]
-                clip = native.clip_crop_normalize(frames, trans, self.h, self.w)
+                clip = crop_decoded(frames, trans, self.h, self.w)
         else:
-            clip = native.clip_crop_normalize(inst["clip"], trans, self.h, self.w)
+            clip = crop_decoded(inst["clip"], trans, self.h, self.w)
         out = dict(inst)
         out["clip"] = clip
+        if "kp_2d" in inst:
+            kps = np.stack([
+                apply_trans_points(kp, m) for kp, m in zip(inst["kp_2d"], trans)
+            ])
+            kps[..., :2] = 2.0 * kps[..., :2] / self.w - 1.0
+            out["kp_2d"] = kps.astype(np.float32)
+        return out
+
+
+class DeviceCropPack:
+    """DATASET.DEVICE_CROP: pack RAW uint8 frames + per-frame eval affines
+    instead of cropping on host — the crop AND normalize then run inside the
+    model-step jit on the MXU (ops/image.apply_device_preproc ->
+    batch_crop_normalize, the separable two-matmul warp).
+
+    The full on-device preprocessing stage (north star). Host work per frame
+    drops to decode + 24 floats of affine; keypoints still transform on host
+    (they are score-time targets, not device inputs). Requires uniform
+    source frame sizes within a batch (device arrays are rectangular) —
+    true for single-video demo/serve footage and fixed-camera datasets;
+    datasets with mixed resolutions must use the uint8-crop mode instead
+    (DEVICE_PREPROC, the default).
+    """
+
+    def __init__(self, height=224, width=224):
+        self.h, self.w = height, width
+
+    def __call__(self, inst, rng: np.random.RandomState):
+        if "bbox" not in inst:
+            raise ValueError("DEVICE_CROP needs per-frame bboxes")
+        clip = inst["clip"]
+        if clip and isinstance(clip[0], (bytes, bytearray)):
+            clip = [_decode_jpeg_cv2(b, i) for i, b in enumerate(clip)]
+        shapes = {f.shape for f in clip}
+        if len(shapes) != 1:
+            raise ValueError(
+                f"DEVICE_CROP needs uniform source frame sizes, got {shapes}; "
+                "use DEVICE_PREPROC (host uint8 crop) for mixed-size sources")
+        trans = np.stack([
+            gen_crop_trans(bbox, (1.3, 1.3), 0.0, (0.0, 0.0), self.w, self.h)
+            for bbox in inst["bbox"]
+        ]).astype(np.float32)
+        out = dict(inst)
+        out["clip"] = np.stack(clip, axis=0)  # (T, Hs, Ws, 3) uint8 RAW
+        out["trans"] = trans
         if "kp_2d" in inst:
             kps = np.stack([
                 apply_trans_points(kp, m) for kp, m in zip(inst["kp_2d"], trans)
@@ -495,11 +565,21 @@ def build_train_transforms(cfg_dataset, color_jitter: bool = True) -> Compose:
                                    d.ERASE_KP, d.ERASE_MARGIN))
     if d.RANDOM_FLIP > 0:
         ts.append(RandomHFlipVideo(d.RANDOM_FLIP))
-    ts.append(StackNormalize(d.WIDTH))
+    # DATASET.DEVICE_PREPROC (TPU-native extension, default on in the real
+    # config schema): every stage above operates on uint8, so the stack ships
+    # uint8 and the device normalizes in-jit (ops/image.device_normalize)
+    ts.append(StackNormalize(
+        d.WIDTH, device_normalize=bool(getattr(d, "DEVICE_PREPROC", False))))
     return Compose(ts)
 
 
-def build_eval_transforms(width=224, height=224, fused: bool = True) -> Compose:
+def build_eval_transforms(width=224, height=224, fused: bool = True,
+                          device_normalize: bool = False,
+                          device_crop: bool = False) -> Compose:
+    if device_crop:
+        return Compose([DeviceCropPack(height, width)])
     if fused:
-        return Compose([FusedCropNormalize(height, width)])
-    return Compose([CropVideo(height, width), StackNormalize(width)])
+        return Compose([FusedCropNormalize(height, width,
+                                           device_normalize=device_normalize)])
+    return Compose([CropVideo(height, width),
+                    StackNormalize(width, device_normalize=device_normalize)])

@@ -70,6 +70,9 @@ class MAED(nn.Module):
             raise NotImplementedError(self.decoder)
 
     def extract_feature(self, x, deterministic: bool = True):
+        from maed_tpu.ops.image import device_normalize
+
+        x = device_normalize(x)  # uint8 shipping contract; f32 = no-op
         N, T = x.shape[:2]
         frames = x.reshape((N * T,) + x.shape[2:])
         if self.encoder.lower() == "ste":
@@ -85,6 +88,12 @@ class MAED(nn.Module):
         J_regressor: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ):
+        from maed_tpu.ops.image import device_normalize
+
+        # uint8 clips are ImageNet-normalized ON DEVICE (fused by XLA into
+        # the stem conv): hosts ship 1/4 the bytes. f32 inputs (the original
+        # contract, every parity oracle) see an identical graph.
+        x = device_normalize(x)
         N, T = x.shape[:2]
         frames = x.reshape((N * T,) + x.shape[2:])
 

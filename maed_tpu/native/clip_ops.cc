@@ -1,5 +1,7 @@
 // Fused host-side clip assembly: affine crop (bilinear, constant border) +
-// [0,255] -> ImageNet-normalized float32, multi-threaded over frames.
+// either [0,255] -> ImageNet-normalized float32 OR a rounded uint8 crop
+// (the DEVICE_PREPROC shipping contract: the device normalizes in-jit, the
+// host ships 1/4 the bytes), multi-threaded over frames.
 //
 // This is the hot host path of the input pipeline (the equivalent of the
 // reference's cv2.warpAffine + ToTensor + Normalize chain,
@@ -24,18 +26,31 @@
 
 namespace {
 
-struct FrameTask {
-  const uint8_t* src;   // H_in x W_in x 3, RGB
-  int src_h, src_w;
-  const double* inv;    // 2x3 inverse affine (output px -> input px)
-  float* dst;           // out_h x out_w x 3, float32
-};
-
 // mean/std in [0,1] space; folded into the 1/255 scale below.
 constexpr float kMean[3] = {0.485f, 0.456f, 0.406f};
 constexpr float kStd[3] = {0.229f, 0.224f, 0.225f};
 
-inline void process_frame(const FrameTask& t, int out_h, int out_w) {
+// Output policies: float32 stores the ImageNet-normalized value; uint8
+// stores the rounded bilinear sample (cv2.warpAffine-on-uint8 semantics to
+// within 1 LSB of cv2's fixed-point rounding).
+inline void store_px(float* dst, float v, float scale, float bias) {
+  *dst = v * scale + bias;
+}
+inline void store_px(uint8_t* dst, float v, float, float) {
+  const float c = v < 0.f ? 0.f : (v > 255.f ? 255.f : v);
+  *dst = static_cast<uint8_t>(std::lrintf(c));
+}
+
+template <typename OutT>
+struct FrameTask {
+  const uint8_t* src;   // H_in x W_in x 3, RGB
+  int src_h, src_w;
+  const double* inv;    // 2x3 inverse affine (output px -> input px)
+  OutT* dst;            // out_h x out_w x 3
+};
+
+template <typename OutT>
+inline void process_frame(const FrameTask<OutT>& t, int out_h, int out_w) {
   const float scale[3] = {1.0f / (255.0f * kStd[0]), 1.0f / (255.0f * kStd[1]),
                           1.0f / (255.0f * kStd[2])};
   const float bias[3] = {-kMean[0] / kStd[0], -kMean[1] / kStd[1],
@@ -46,7 +61,7 @@ inline void process_frame(const FrameTask& t, int out_h, int out_w) {
   const size_t stride = static_cast<size_t>(t.src_w) * 3;
 
   for (int y = 0; y < out_h; ++y) {
-    float* row = t.dst + static_cast<size_t>(y) * out_w * 3;
+    OutT* row = t.dst + static_cast<size_t>(y) * out_w * 3;
     // input coordinates move linearly along the row: precompute start + step
     const double row_sx = b * y + c;
     const double row_sy = e * y + f;
@@ -96,7 +111,7 @@ inline void process_frame(const FrameTask& t, int out_h, int out_w) {
         if (p10) v += w10 * p10[ch];
         if (p01) v += w01 * p01[ch];
         if (p11) v += w11 * p11[ch];
-        row[x * 3 + ch] = v * scale[ch] + bias[ch];
+        store_px(row + x * 3 + ch, v, scale[ch], bias[ch]);
       }
     };
 
@@ -118,11 +133,46 @@ inline void process_frame(const FrameTask& t, int out_h, int out_w) {
       for (int ch = 0; ch < 3; ++ch) {
         const float v = w00 * p00[ch] + w10 * p00[3 + ch] +
                         w01 * p01[ch] + w11 * p01[3 + ch];
-        row[x * 3 + ch] = v * scale[ch] + bias[ch];
+        store_px(row + x * 3 + ch, v, scale[ch], bias[ch]);
       }
     }
     for (int x = hi; x < out_w; ++x) slow_pixel(x);
   }
+}
+
+// Shared frame-parallel driver for the decoded-frames entry points.
+template <typename OutT>
+void run_crop(const uint8_t** frames, const int* src_hw, int T,
+              const double* inv_trans, int out_h, int out_w, OutT* out,
+              int n_threads) {
+  if (n_threads <= 0) {
+    n_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  if (n_threads > T) n_threads = T;
+
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    int i;
+    while ((i = next.fetch_add(1)) < T) {
+      FrameTask<OutT> task;
+      task.src = frames[i];
+      task.src_h = src_hw[i * 2];
+      task.src_w = src_hw[i * 2 + 1];
+      task.inv = inv_trans + i * 6;
+      task.dst = out + static_cast<size_t>(i) * out_h * out_w * 3;
+      process_frame(task, out_h, out_w);
+    }
+  };
+
+  if (n_threads == 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads);
+  for (int i = 0; i < n_threads; ++i) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
 }
 
 #ifdef HAVE_LIBJPEG
@@ -184,6 +234,50 @@ bool decode_jpeg(const uint8_t* buf, size_t len, std::vector<uint8_t>& out,
   return true;
 }
 
+// Threaded JPEG-decode + crop driver shared by the f32/u8 entry points.
+template <typename OutT>
+int run_decode_crop(const uint8_t** jpegs, const int64_t* jpeg_lens, int T,
+                    const double* inv_trans, int out_h, int out_w, OutT* out,
+                    int n_threads) {
+  if (n_threads <= 0) {
+    n_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  if (n_threads > T) n_threads = T;
+
+  std::atomic<int> next(0);
+  std::atomic<int> failed(0);
+  auto worker = [&]() {
+    std::vector<uint8_t> pixels;  // reused per thread
+    int i;
+    while ((i = next.fetch_add(1)) < T) {
+      int h = 0, w = 0;
+      if (!decode_jpeg(jpegs[i], static_cast<size_t>(jpeg_lens[i]), pixels,
+                       &h, &w)) {
+        failed.store(1);
+        continue;
+      }
+      FrameTask<OutT> task;
+      task.src = pixels.data();
+      task.src_h = h;
+      task.src_w = w;
+      task.inv = inv_trans + i * 6;
+      task.dst = out + static_cast<size_t>(i) * out_h * out_w * 3;
+      process_frame(task, out_h, out_w);
+    }
+  };
+
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(n_threads);
+    for (int i = 0; i < n_threads; ++i) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return failed.load() ? -2 : 0;
+}
+
 #endif  // HAVE_LIBJPEG
 
 }  // namespace
@@ -197,34 +291,16 @@ extern "C" {
 void clip_crop_normalize(const uint8_t** frames, const int* src_hw, int T,
                          const double* inv_trans, int out_h, int out_w,
                          float* out, int n_threads) {
-  if (n_threads <= 0) {
-    n_threads = static_cast<int>(std::thread::hardware_concurrency());
-    if (n_threads <= 0) n_threads = 1;
-  }
-  if (n_threads > T) n_threads = T;
+  run_crop(frames, src_hw, T, inv_trans, out_h, out_w, out, n_threads);
+}
 
-  std::atomic<int> next(0);
-  auto worker = [&]() {
-    int i;
-    while ((i = next.fetch_add(1)) < T) {
-      FrameTask task;
-      task.src = frames[i];
-      task.src_h = src_hw[i * 2];
-      task.src_w = src_hw[i * 2 + 1];
-      task.inv = inv_trans + i * 6;
-      task.dst = out + static_cast<size_t>(i) * out_h * out_w * 3;
-      process_frame(task, out_h, out_w);
-    }
-  };
-
-  if (n_threads == 1) {
-    worker();
-    return;
-  }
-  std::vector<std::thread> pool;
-  pool.reserve(n_threads);
-  for (int i = 0; i < n_threads; ++i) pool.emplace_back(worker);
-  for (auto& th : pool) th.join();
+// Same crop, uint8 output, NO normalize (the device normalizes in-jit):
+// the DEVICE_PREPROC host half. Rounding matches cv2.warpAffine-on-uint8 to
+// within 1 LSB.
+void clip_crop_u8(const uint8_t** frames, const int* src_hw, int T,
+                  const double* inv_trans, int out_h, int out_w,
+                  uint8_t* out, int n_threads) {
+  run_crop(frames, src_hw, T, inv_trans, out_h, out_w, out, n_threads);
 }
 
 // 1 when this build can decode JPEGs natively (libjpeg linked in).
@@ -249,43 +325,22 @@ int clip_decode_crop_normalize(const uint8_t** jpegs, const int64_t* jpeg_lens,
   (void)out_w; (void)out; (void)n_threads;
   return -1;
 #else
-  if (n_threads <= 0) {
-    n_threads = static_cast<int>(std::thread::hardware_concurrency());
-    if (n_threads <= 0) n_threads = 1;
-  }
-  if (n_threads > T) n_threads = T;
+  return run_decode_crop(jpegs, jpeg_lens, T, inv_trans, out_h, out_w, out,
+                         n_threads);
+#endif
+}
 
-  std::atomic<int> next(0);
-  std::atomic<int> failed(0);
-  auto worker = [&]() {
-    std::vector<uint8_t> pixels;  // reused per thread
-    int i;
-    while ((i = next.fetch_add(1)) < T) {
-      int h = 0, w = 0;
-      if (!decode_jpeg(jpegs[i], static_cast<size_t>(jpeg_lens[i]), pixels,
-                       &h, &w)) {
-        failed.store(1);
-        continue;
-      }
-      FrameTask task;
-      task.src = pixels.data();
-      task.src_h = h;
-      task.src_w = w;
-      task.inv = inv_trans + i * 6;
-      task.dst = out + static_cast<size_t>(i) * out_h * out_w * 3;
-      process_frame(task, out_h, out_w);
-    }
-  };
-
-  if (n_threads == 1) {
-    worker();
-  } else {
-    std::vector<std::thread> pool;
-    pool.reserve(n_threads);
-    for (int i = 0; i < n_threads; ++i) pool.emplace_back(worker);
-    for (auto& th : pool) th.join();
-  }
-  return failed.load() ? -2 : 0;
+// Threaded JPEG-decode + crop to a uint8 buffer (device-normalize mode).
+int clip_decode_crop_u8(const uint8_t** jpegs, const int64_t* jpeg_lens,
+                        int T, const double* inv_trans, int out_h,
+                        int out_w, uint8_t* out, int n_threads) {
+#ifndef HAVE_LIBJPEG
+  (void)jpegs; (void)jpeg_lens; (void)T; (void)inv_trans; (void)out_h;
+  (void)out_w; (void)out; (void)n_threads;
+  return -1;
+#else
+  return run_decode_crop(jpegs, jpeg_lens, T, inv_trans, out_h, out_w, out,
+                         n_threads);
 #endif
 }
 

@@ -129,6 +129,23 @@ def affine_crop_normalize(
     return (warped / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def device_normalize(images: jnp.ndarray) -> jnp.ndarray:
+    """In-jit ImageNet normalize for uint8 inputs; float inputs pass through.
+
+    The on-device half of the uint8 shipping contract (north star: move clip
+    normalize onto the TPU): the host pipeline keeps frames uint8 end-to-end
+    (crop/jitter/erase/flip all operate on uint8 already — reference host
+    path being replaced: /root/reference/lib/data_utils/transforms/
+    basic.py:28-117), ships 1/4 the H2D bytes, and this runs as the first op
+    inside the model's jit where XLA fuses it into the stem convolution.
+    dtype is static under jit, so the dispatch costs nothing at runtime and
+    float32 callers (every pre-round-5 consumer, the parity oracles) get an
+    UNCHANGED graph."""
+    if images.dtype == jnp.uint8:
+        return (images.astype(jnp.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    return images
+
+
 def normalize_keypoints(kp: jnp.ndarray, trans: jnp.ndarray, patch_size: int):
     """Apply the same affines to (T, K, 3) keypoints and scale xy to [-1, 1]."""
     xy1 = jnp.concatenate([kp[..., :2], jnp.ones_like(kp[..., :1])], axis=-1)
@@ -144,6 +161,29 @@ def batch_crop_normalize(frames, trans, out_h, out_w, separable: bool = True):
     return jax.vmap(
         lambda f, m: affine_crop_normalize(f, m, out_h, out_w, separable=separable)
     )(frames, trans)
+
+
+def apply_device_preproc(images, out_h: int, out_w: int):
+    """Resolve either device-preprocessing input contract to model frames.
+
+    images is one of:
+      * an array (N, T, H, W, 3) — already-cropped clips, uint8 (normalized
+        in-jit by the model) or f32 (the original host contract): returned
+        unchanged;
+      * a pack {'frames': (N, T, Hs, Ws, 3) uint8 RAW frames, 'trans':
+        (N, T, 2, 3) forward affines} — DATASET.DEVICE_CROP mode: the crop
+        AND normalize run here, inside the caller's jit, on the MXU
+        (separable two-matmul warp; eval affines are axis-aligned).
+
+    The full on-device preprocessing stage (north star): host ships raw
+    uint8 frames + 24 floats per frame; decode stays on host. Use when
+    source frames are near crop size (full 1080p frames would ship MORE
+    bytes than uint8 crops — see doc/design.md).
+    """
+    if isinstance(images, dict):
+        return batch_crop_normalize(images["frames"], images["trans"],
+                                    out_h, out_w, separable=True)
+    return images
 
 
 def crop_trans_for_bbox(bbox: np.ndarray, out_h: int, out_w: int,

@@ -88,7 +88,7 @@ def _joint_palette(n):
 
 
 def generate(out, n_videos=6, frames_per_video=96, size=64, seed=0,
-             val_videos=2):
+             val_videos=2, flagship=False):
     """Write synacc_{train,val}_db.pt + rendered frames + accept.yaml."""
     import cv2
     import jax
@@ -159,11 +159,18 @@ def generate(out, n_videos=6, frames_per_video=96, size=64, seed=0,
         print(f"[generate] {split}: {len(db['img_name'])} frames "
               f"({n_videos if split == 'train' else val_videos} videos)")
 
-    _write_cfg(out, size)
+    _write_cfg(out, size, flagship=flagship)
     return out
 
 
-def _write_cfg(out, size):
+def _write_cfg(out, size, flagship=False):
+    """accept.yaml: tiny 1-block/64px config (CPU-friendly convention
+    check) or — flagship=True (VERDICT r4 next #4) — the REAL release
+    model (6x768 ste-parallel + KTD, seqlen 16, 224px) sized for a short
+    on-chip run: the same composition whose jitted-step-only time is 155.4
+    ms (doc/design.md), now driven end-to-end through train.py's real
+    ShardedLoader + augmentation + H2D (the measurement VERDICT r4 missing
+    #2 demands)."""
     from maed_tpu.core.config import get_cfg_defaults
 
     cfg = get_cfg_defaults()
@@ -172,8 +179,6 @@ def _write_cfg(out, size):
     cfg.SAVE_FREQ = 2
     cfg.OUTPUT_DIR = osp.join(out, "results")
     cfg.DATASET.WIDTH = cfg.DATASET.HEIGHT = size
-    cfg.DATASET.SEQLEN = 4
-    cfg.DATASET.SAMPLE_POOL = 8
     cfg.DATASET.RANDOM_SAMPLE = True
     cfg.DATASET.RANDOM_START = False
     cfg.DATASET.COLOR_JITTER = 0.0   # photometric noise only slows the loop
@@ -189,16 +194,30 @@ def _write_cfg(out, size):
     cfg.TRAIN.BATCH_SIZE_3D = 4
     cfg.TRAIN.END_EPOCH = 6
     cfg.TRAIN.NUM_ITERS_PER_EPOCH = 50
-    cfg.TRAIN.OPTIM.LR = 3e-4        # tiny model, tiny data: converge fast
     cfg.TRAIN.OPTIM.WARMUP_EPOCH = 1
     cfg.TRAIN.OPTIM.MILESTONES = [5]
-    cfg.MODEL.ENCODER.NUM_BLOCKS = 1
-    cfg.MODEL.ENCODER.NUM_HEADS = 2
-    cfg.MODEL.DECODER.HIDDEN_DIM = 64
-    cfg.EVAL.SEQLEN = 4
-    cfg.EVAL.SAMPLE_POOL = 16
     cfg.EVAL.BATCH_SIZE = 4
     cfg.EVAL.INTERPOLATION = 1
+    if flagship:
+        # release model dims stay at the config defaults (6 blocks, 12
+        # heads, ste-parallel, KTD hidden 1024); clip shapes at the real
+        # protocol's seqlen
+        cfg.DATASET.SEQLEN = 16
+        cfg.DATASET.SAMPLE_POOL = 32
+        cfg.EVAL.SEQLEN = 16
+        cfg.EVAL.SAMPLE_POOL = 32
+        # flagship-scale learning rate (the 300-step learning soak used
+        # 5e-5; the synthetic dot task tolerates a bit more)
+        cfg.TRAIN.OPTIM.LR = 1e-4
+    else:
+        cfg.DATASET.SEQLEN = 4
+        cfg.DATASET.SAMPLE_POOL = 8
+        cfg.TRAIN.OPTIM.LR = 3e-4    # tiny model, tiny data: converge fast
+        cfg.MODEL.ENCODER.NUM_BLOCKS = 1
+        cfg.MODEL.ENCODER.NUM_HEADS = 2
+        cfg.MODEL.DECODER.HIDDEN_DIM = 64
+        cfg.EVAL.SEQLEN = 4
+        cfg.EVAL.SAMPLE_POOL = 16
     path = osp.join(out, "accept.yaml")
     with open(path, "w") as f:
         f.write(cfg.dump())
@@ -383,11 +402,17 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--margin", type=float, default=0.7)
     ap.add_argument("--tol_mm", type=float, default=0.1)
+    ap.add_argument("--flagship", action="store_true",
+                    help="accept.yaml uses the REAL release model (6x768 "
+                    "ste-parallel + KTD, seqlen 16) — pair with --size 224 "
+                    "for the on-chip flagship acceptance + end-to-end "
+                    "throughput run (tools/plans/r5_e2e.json)")
     args = ap.parse_args()
 
     if args.phase in ("generate", "all"):
         generate(args.out, n_videos=args.videos,
-                 frames_per_video=args.frames, size=args.size, seed=args.seed)
+                 frames_per_video=args.frames, size=args.size, seed=args.seed,
+                 flagship=args.flagship)
     if args.phase in ("oracle", "all"):
         oracle(args.out, tol_mm=args.tol_mm)
     if args.phase in ("train", "all"):

@@ -123,8 +123,13 @@ def main():
     )
 
     def eval_fwd(variables, images, J_regressor=None):
+        from maed_tpu.ops.image import apply_device_preproc
+
         # params arrive as jit ARGUMENTS (the Trainer passes the live state
-        # per validation), so one compiled executable serves every epoch
+        # per validation), so one compiled executable serves every epoch.
+        # images: f32 crops, uint8 crops (DEVICE_PREPROC), or a raw-frames+
+        # affines pack (DEVICE_CROP) — resolved in-jit
+        images = apply_device_preproc(images, d.HEIGHT, d.WIDTH)
         return model.apply(variables, images, smpl, J_regressor=J_regressor)
 
     trainer = Trainer(
