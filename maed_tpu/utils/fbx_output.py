@@ -38,11 +38,21 @@ def rodrigues_to_quat(aa):
 
 
 def export_fbx(poses: np.ndarray, output_path: str, fbx_template: str,
-               fps: int = 30, gender_prefix: str = "m_avg_"):
-    """poses: (T, 72) axis-angle SMPL pose sequence."""
+               fps: int = 30, gender_prefix: str = "m_avg_",
+               trans: np.ndarray | None = None, start_origin: bool = False):
+    """poses: (T, 72) axis-angle SMPL pose sequence.
+
+    trans: optional (T, 3) per-frame root translations in meters — keyframes
+    the Pelvis bone LOCATION like the reference
+    (/root/reference/lib/utils/fbx_output.py:94-113: location =
+    100*(trans[1], trans[2], trans[0]) cm relative to the rest pelvis head).
+    None (default) keyframes rotations only — identical output to the
+    reference's zero-trans invocation (its :150 feeds zeros).
+    start_origin subtracts frame 0's (x, y) so the animation starts at the
+    scene origin (reference --start_origin)."""
     try:
         import bpy
-        from mathutils import Quaternion
+        from mathutils import Quaternion, Vector
     except ImportError as e:
         raise RuntimeError(
             "fbx export requires Blender's bpy (run this script inside "
@@ -61,10 +71,34 @@ def export_fbx(poses: np.ndarray, output_path: str, fbx_template: str,
     bpy.ops.import_scene.fbx(filepath=fbx_template)
     armature = bpy.data.objects["Armature"]
     bpy.context.view_layer.objects.active = armature
+
+    pelvis_position = None
+    if trans is not None:
+        trans = np.asarray(trans, np.float64).reshape(-1, 3)
+        if len(trans) != len(poses):
+            raise ValueError(f"trans has {len(trans)} frames, poses {len(poses)}")
+        if start_origin:
+            trans = trans - np.array([trans[0, 0], trans[0, 1], 0.0])
+        # rest pelvis head in armature units ([cm]: the template armature is
+        # scaled); a COPY — the edit-bone reference mutates with keyframes
+        bpy.ops.object.mode_set(mode="EDIT")
+        pelvis_position = Vector(
+            armature.data.edit_bones[gender_prefix + BONE_NAMES[0]].head)
+        bpy.ops.object.mode_set(mode="OBJECT")
+
     bpy.ops.object.mode_set(mode="POSE")
 
     for frame_i, pose in enumerate(np.asarray(poses).reshape(-1, 24, 3)):
         scene.frame_set(frame_i + 1)
+        if pelvis_position is not None:
+            # SMPL trans (x, y, z) m -> Blender pelvis-local (y, z, x) cm,
+            # relative to the rest pelvis head (reference :103-113)
+            t = trans[frame_i]
+            pelvis = armature.pose.bones[gender_prefix + BONE_NAMES[0]]
+            pelvis.location = (
+                Vector((100.0 * t[1], 100.0 * t[2], 100.0 * t[0]))
+                - pelvis_position)
+            pelvis.keyframe_insert("location", frame=frame_i + 1)
         for joint_i, bone_name in enumerate(BONE_NAMES):
             full = gender_prefix + bone_name
             if full not in armature.pose.bones:
@@ -90,13 +124,20 @@ def main():
     parser.add_argument("--output", required=True, help="output .fbx path")
     parser.add_argument("--fbx_template", required=True)
     parser.add_argument("--fps", type=int, default=30)
+    parser.add_argument("--trans_file", default="",
+                        help=".npy of (T, 3) per-frame root translations "
+                        "(meters); keyframes the Pelvis location")
+    parser.add_argument("--start_origin", action="store_true",
+                        help="subtract frame 0's (x, y) translation")
     args = parser.parse_args(argv)
 
     import joblib
 
     data = joblib.load(args.input)
     poses = np.asarray(data["pred_theta"])[:, 3:75]
-    export_fbx(poses, args.output, args.fbx_template, fps=args.fps)
+    trans = np.load(args.trans_file) if args.trans_file else None
+    export_fbx(poses, args.output, args.fbx_template, fps=args.fps,
+               trans=trans, start_origin=args.start_origin)
 
 
 if __name__ == "__main__":
