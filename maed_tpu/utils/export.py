@@ -48,6 +48,7 @@ def export_eval_forward(
     J_regressor: Optional[np.ndarray] = None,
     platforms: Sequence[str] = ("tpu",),
     bake_params: bool = True,
+    input_dtype: str = "f32",
 ):
     """Serialize the eval forward to StableHLO bytes.
 
@@ -74,8 +75,12 @@ def export_eval_forward(
               "slower). Build on a TPU host for the benchmarked executable.",
               file=sys.stderr)
     jreg = None if J_regressor is None else jnp.asarray(J_regressor)
-    img_spec = jax.ShapeDtypeStruct((batch_size, seqlen, height, width, 3),
-                                    jnp.float32)
+    # input_dtype='u8': the artifact takes RAW uint8 crops and normalizes
+    # in-graph (DEVICE_PREPROC serving contract) — clients POST 1/4 the
+    # bytes; 'f32' keeps the original pre-normalized contract
+    img_spec = jax.ShapeDtypeStruct(
+        (batch_size, seqlen, height, width, 3),
+        jnp.uint8 if input_dtype in ("u8", "uint8") else jnp.float32)
 
     if bake_params:
         @functools.partial(jax.jit)
@@ -142,14 +147,17 @@ def load_exported(blob: bytes):
     Inputs must match the exported specs exactly.
     """
     exported = jax_export.deserialize(blob)
+    # the artifact's own image spec decides the cast (f32 legacy artifacts
+    # and u8 DEVICE_PREPROC artifacts both load through this one entry)
+    img_dtype = exported.in_avals[-1].dtype
 
     if len(exported.in_avals) == 1:
         def fwd(images):
-            return exported.call(jnp.asarray(images, jnp.float32))
+            return exported.call(jnp.asarray(images, img_dtype))
     else:
         def fwd(flat_params, images):
             return exported.call(dict(flat_params),
-                                 jnp.asarray(images, jnp.float32))
+                                 jnp.asarray(images, img_dtype))
 
     fwd.in_avals = exported.in_avals
     fwd.platforms = exported.platforms
@@ -183,6 +191,11 @@ def main():
                     help="bakes this dataset's eval regressor into the "
                     "artifact ('' for the model's native joint bank)")
     ap.add_argument("--allow_synthetic_smpl", action="store_true")
+    ap.add_argument("--input_dtype", default="u8", choices=("u8", "f32"),
+                    help="image input contract: 'u8' (default) takes raw "
+                    "uint8 crops and normalizes in-graph — clients ship 1/4 "
+                    "the bytes (DATASET.DEVICE_PREPROC serving analogue); "
+                    "'f32' keeps the pre-normalized legacy contract")
     ap.add_argument("--no_bake", action="store_true",
                     help="export params as arguments instead of program "
                     "constants: writes <out> (small program) + "
@@ -204,7 +217,7 @@ def main():
         result = export_eval_forward(
             model, variables, smpl, batch, cfg.EVAL.SEQLEN,
             d.HEIGHT, d.WIDTH, J_regressor=jreg, platforms=(args.platform,),
-            bake_params=not args.no_bake,
+            bake_params=not args.no_bake, input_dtype=args.input_dtype,
         )
         extra = ""
         if args.no_bake:

@@ -54,18 +54,22 @@ class ModelHost:
             self.params = dict(np.load(params_path))
         img_aval = self.fwd.in_avals[-1]
         self.batch, self.seqlen, self.height, self.width = img_aval.shape[:4]
+        # u8 artifacts (export --input_dtype u8) take raw uint8 crops and
+        # normalize in-graph: clients POST 1/4 the bytes; pad in kind
+        self.img_dtype = np.dtype(str(img_aval.dtype))
         self._lock = threading.Lock()
 
     def spec(self) -> dict:
         return {
             "batch": int(self.batch), "seqlen": int(self.seqlen),
             "height": int(self.height), "width": int(self.width),
+            "dtype": self.img_dtype.name,
             "platforms": list(self.fwd.platforms),
         }
 
     def warmup(self):
         self.predict(np.zeros(
-            (1, self.seqlen, self.height, self.width, 3), np.float32))
+            (1, self.seqlen, self.height, self.width, 3), self.img_dtype))
 
     def predict(self, images: np.ndarray) -> dict:
         want = (self.seqlen, self.height, self.width, 3)
@@ -77,8 +81,8 @@ class ModelHost:
         if not 1 <= n <= self.batch:
             raise ValueError(f"batch {n} outside [1, {self.batch}]")
         if n < self.batch:  # pad to the compiled static shape
-            pad = np.zeros((self.batch - n,) + want, np.float32)
-            images = np.concatenate([images.astype(np.float32), pad], axis=0)
+            pad = np.zeros((self.batch - n,) + want, self.img_dtype)
+            images = np.concatenate([images.astype(self.img_dtype), pad], axis=0)
         with self._lock:
             out = (self.fwd(self.params, images) if self.params is not None
                    else self.fwd(images))

@@ -39,6 +39,32 @@ def test_export_roundtrip_matches_apply(tiny_setup):
                                    rtol=2e-2, atol=1e-4, err_msg=k)
 
 
+def test_export_u8_input_contract(tiny_setup):
+    """--input_dtype u8: the artifact takes RAW uint8 crops, normalizes
+    in-graph, and matches the f32 artifact fed the host-normalized values
+    (the DEVICE_PREPROC serving contract; clients ship 1/4 the bytes)."""
+    model, variables, smpl, _ = tiny_setup
+    u8 = np.random.RandomState(3).randint(0, 256, (2, 4, 32, 32, 3),
+                                          dtype=np.uint8)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    f32 = (u8.astype(np.float32) / 255.0 - mean) / std
+
+    blob_u8 = export_eval_forward(model, variables, smpl, batch_size=2,
+                                  seqlen=4, height=32, width=32,
+                                  platforms=("cpu",), input_dtype="u8")
+    blob_f32 = export_eval_forward(model, variables, smpl, batch_size=2,
+                                   seqlen=4, height=32, width=32,
+                                   platforms=("cpu",))
+    fwd_u8 = load_exported(blob_u8)
+    assert str(fwd_u8.in_avals[-1].dtype) == "uint8"
+    got = fwd_u8(u8)
+    want = load_exported(blob_f32)(f32)
+    for k in ("theta", "verts", "kp_2d", "kp_3d", "rotmat"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=2e-2, atol=2e-4, err_msg=k)
+
+
 def test_export_bakes_regressor(tiny_setup):
     model, variables, smpl, x = tiny_setup
     jreg = np.abs(np.random.RandomState(1).rand(17, 120)).astype(np.float32)
