@@ -200,8 +200,11 @@ def _write_cfg(out, size, flagship=False):
     cfg.EVAL.INTERPOLATION = 1
     if flagship:
         # release model dims stay at the config defaults (6 blocks, 12
-        # heads, ste-parallel, KTD hidden 1024); clip shapes at the real
-        # protocol's seqlen
+        # heads, KTD hidden 1024) EXCEPT the attention mode: the released
+        # stage-2 model is ste-PARALLEL (configs/config_stage2.yaml) while
+        # the config default is 'vanilla' — set it explicitly so the
+        # on-chip acceptance exercises the same model bench.py measures
+        cfg.MODEL.ENCODER.SPA_TEMP_MODE = "parallel"
         cfg.DATASET.SEQLEN = 16
         cfg.DATASET.SAMPLE_POOL = 32
         cfg.EVAL.SEQLEN = 16
