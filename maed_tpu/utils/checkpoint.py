@@ -23,6 +23,20 @@ import orbax.checkpoint as ocp
 
 
 def _checkpointer():
+    if jax.process_count() > 1:
+        # PROCESS-LOCAL checkpointer: the default one runs cross-process
+        # barrier syncs inside save() ('Checkpointer:save_start'), which
+        # deadlocks/mismatches the rank-0-only write this module's callers
+        # use (the Trainer gathers sharded state on every rank, then only
+        # rank 0 calls save — caught by test_multiprocess's sharded-save
+        # phase). State arrives pre-gathered as plain host numpy, so the
+        # write is pure local file IO; no coordination needed.
+        me = jax.process_index()
+        return ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=me, active_processes={me}),
+        )
     return ocp.PyTreeCheckpointer()
 
 
@@ -41,6 +55,35 @@ def wait_pending_saves() -> None:
         _pending.pop().join()
     if _pending_error:
         raise _pending_error.pop()
+
+
+def gather_to_host(tree):
+    """Materialize every leaf as an OWNING host numpy copy, including
+    non-fully-addressable jax.Arrays (TP/dp-sharded params and optimizer
+    moments on a multi-process mesh, where np.array() raises).
+
+    Those leaves are allgathered across processes — a COLLECTIVE: every
+    process must call this together, even though only rank 0 goes on to
+    write the checkpoint (Trainer.save/_save_preempt call it on all ranks
+    for exactly that reason). Fully-addressable / fully-replicated leaves
+    copy locally with no communication. Reference rank-0 save semantics
+    being generalized: /root/reference/lib/core/trainer.py:316-318,330-351
+    (DDP holds full replicas on every GPU; a sharded mesh does not).
+    """
+    from jax.experimental import multihost_utils
+
+    def to_host(x):
+        if isinstance(x, jax.Array) and not (
+            x.is_fully_addressable or x.is_fully_replicated
+        ):
+            # tiled=True is REQUIRED for global arrays (assembles the global
+            # value rather than stacking a new axis); jax raises otherwise
+            out = np.asarray(multihost_utils.process_allgather(x, tiled=True))
+            assert out.shape == x.shape, (out.shape, x.shape)
+            return out
+        return np.array(x)
+
+    return jax.tree.map(to_host, tree)
 
 
 def _write(path: str, state_np: Dict[str, Any], is_best: bool) -> None:
