@@ -58,7 +58,19 @@ def main():
                     help="capture a jax.profiler trace of the timed loop to "
                     "this dir (feed to tools/trace_ops.py for the per-op "
                     "device-time rollup)")
+    ap.add_argument("--u8", action="store_true",
+                    help="feed device-resident uint8 frames (the shipped "
+                    "DATASET.DEVICE_PREPROC train contract: ImageNet "
+                    "normalize fuses into the step's jit) — isolates the "
+                    "in-jit normalize cost from the 4x-smaller H2D that "
+                    "the e2e runs measure")
     args = ap.parse_args()
+
+    # honor JAX_PLATFORMS=cpu (the image's sitecustomize pins axon otherwise;
+    # without this a "CPU smoke" silently runs on — and contends for — the TPU)
+    from maed_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
 
     import jax
 
@@ -104,8 +116,14 @@ def main():
         n2d, n3d, nimg = 0, 0, 128  # BATCH_SIZE_IMG, config_stage1.yaml
     if args.smoke:
         n2d, n3d, nimg, T, res = 1, 2, 2, 4, 64
+    def _frames(*shape):
+        if args.u8:
+            return jnp.asarray(
+                rng.randint(0, 256, shape).astype(np.uint8))
+        return jnp.asarray(rng.randn(*shape).astype(np.float32))
+
     vid = None if n2d + n3d == 0 else {
-        "images": jnp.asarray(rng.randn(n2d + n3d, T, res, res, 3).astype(np.float32)),
+        "images": _frames(n2d + n3d, T, res, res, 3),
         "target_2d": {"kp_2d": jnp.asarray(rng.rand(n2d, T, 49, 3).astype(np.float32))},
         "target_3d": {
             "kp_2d": jnp.asarray(rng.rand(n3d, T, 49, 3).astype(np.float32)),
@@ -115,7 +133,7 @@ def main():
         },
     }
     img = {
-        "image": jnp.asarray(rng.randn(nimg, res, res, 3).astype(np.float32)),
+        "image": _frames(nimg, res, res, 3),
         "kp_2d": jnp.asarray(rng.rand(nimg, 49, 3).astype(np.float32)),
         "kp_3d": jnp.asarray(rng.rand(nimg, 49, 4).astype(np.float32)),
         "theta": jnp.asarray(rng.rand(nimg, 85).astype(np.float32)),
